@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: pmhc_tpu train steps/sec vs the PyTorch reference in-situ.
+
+Prints ONE JSON line:
+  {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": ratio}
+
+- ours: the jitted train step (batch 64, T=1000, reference-equivalent
+  model) on the default JAX device (the real TPU chip under the driver).
+- baseline: the reference's ``DiffusionModelOptimizer.optimize`` measured
+  in-situ on this machine (CPU — the reference has no TPU support; its
+  device selection is cuda-or-cpu, ``optimize.py:48-50``). The reference
+  publishes no numbers of its own (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH_SIZE = 64
+WARMUP = 3
+ITERS = 20
+BASELINE_ITERS = 3
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def bench_ours() -> float:
+    import jax
+
+    # persistent compile cache: the EGNN train step takes minutes to
+    # compile cold; across bench runs the cache makes it seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pmhc_tpu.data import synthetic_batch
+    from pmhc_tpu.diffusion import DiffusionConfig
+    from pmhc_tpu.models import ScoreNetworkConfig
+    from pmhc_tpu.train import Trainer, TrainConfig
+
+    trainer = Trainer(ScoreNetworkConfig(), DiffusionConfig(), TrainConfig(seed=0))
+    batch = synthetic_batch(batch_size=BATCH_SIZE, seed=0)
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(trainer.train_batch(batch))
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        sums = trainer.train_batch(batch)
+    jax.block_until_ready(sums)
+    elapsed = time.perf_counter() - start
+    return ITERS / elapsed
+
+
+def bench_reference() -> float:
+    """Measure the torch reference train step on this machine (cached:
+    the reference does not change between rounds)."""
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["steps_per_sec"]
+
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests._reference import install
+
+    install()
+    from diffusion.model import Model
+    from diffusion.optimizer import DiffusionModelOptimizer
+    from diffusion.tools.metrics import MetricsRecord
+
+    from pmhc_tpu.data import synthetic_batch
+
+    torch.manual_seed(0)
+    model = Model(16, 22, 1000)
+    dm = DiffusionModelOptimizer(1000, model, lr=1e-3)
+
+    np_batch = synthetic_batch(batch_size=BATCH_SIZE, seed=0, as_jax=False)
+    keys = ("frames", "torsions", "features", "mask", "torsions_mask",
+            "pocket_frames", "pocket_mask", "pocket_features")
+
+    def fresh_batch():
+        return {k: torch.tensor(np.asarray(np_batch[k])) for k in keys}
+
+    dm.optimize(fresh_batch(), MetricsRecord())  # warmup
+    start = time.perf_counter()
+    for _ in range(BASELINE_ITERS):
+        dm.optimize(fresh_batch(), MetricsRecord())
+    elapsed = time.perf_counter() - start
+    steps_per_sec = BASELINE_ITERS / elapsed
+
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"steps_per_sec": steps_per_sec}, f)
+    return steps_per_sec
+
+
+def main():
+    ours = bench_ours()
+    try:
+        baseline = bench_reference()
+        ratio = ours / baseline
+    except Exception:
+        baseline = None
+        ratio = None
+    print(json.dumps({
+        "metric": "train_steps_per_sec",
+        "value": round(ours, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(ratio, 2) if ratio is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Sampling CLI — drop-in for the reference command
+(``README.md:45-48``): ``python test.py model.pth test.hdf5``.
+
+Mirrors the reference flow (``test.py:28-84``): load the checkpoint,
+replace every peptide's frames and torsions with pure noise, run the full
+T-step reverse diffusion, merge the stored full-protein atoms, and write
+one PDB per entry into ``<hdf5 stem>-sampled/``.
+
+TPU-native: the entire 1000-step trajectory is ONE jitted lax.scan per
+batch shape (the reference dispatches 1000 model forwards from a Python
+loop, ``optimizer.py:236-249``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from argparse import ArgumentParser
+
+_log = logging.getLogger(__name__)
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("model", help="model parameters file (.pth or orbax dir)")
+    p.add_argument("test_hdf5", help="test data")
+    p.add_argument("--debug", "-d", action="store_const", const=True, default=False)
+    p.add_argument("-T", type=int, default=1000, help="number of noise steps")
+    p.add_argument("--batch-size", "-b", type=int, default=64, help="data batch size")
+    p.add_argument("--num-workers", "-w", type=int, default=4,
+                   help="number of batch loading threads")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-dir", default=None,
+                   help="override the default <stem>-sampled output directory")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        stream=sys.stdout, level=logging.DEBUG if args.debug else logging.INFO
+    )
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pmhc_tpu.data import PmhcDataset, PrefetchLoader
+    from pmhc_tpu.diffusion import DiffusionConfig, ScheduleTables, gen_noise, sample
+    from pmhc_tpu.io import save_pdb
+    from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
+    from pmhc_tpu.train.trainer import prepare_batch
+
+    model_config = ScoreNetworkConfig(noise_step_count=args.T)
+    diffusion_config = DiffusionConfig(noise_step_count=args.T)
+    tables = ScheduleTables(diffusion_config)
+
+    params = import_torch_checkpoint(args.model)
+
+    dataset = PmhcDataset(args.test_hdf5)
+    loader = PrefetchLoader(
+        dataset, batch_size=args.batch_size, num_workers=args.num_workers
+    )
+
+    output_path = args.output_dir or os.path.splitext(args.test_hdf5)[0] + "-sampled"
+    os.makedirs(output_path, exist_ok=True)
+
+    @jax.jit
+    def run_sample(batch, key):
+        return sample(params, batch, key, diffusion_config, model_config, tables)
+
+    key = jax.random.key(args.seed)
+    for batch in loader:
+        names = batch.pop("name")
+        model_batch = prepare_batch(batch)
+        model_batch["aatype"] = jnp.asarray(batch["aatype"])
+
+        # replace the peptide state by pure noise (test.py:70-74)
+        key, noise_key, sample_key = jax.random.split(key, 3)
+        noise = gen_noise(noise_key, model_batch["frames"].shape, diffusion_config)
+        model_batch["frames"] = noise["frames"]
+        model_batch["torsions"] = noise["torsions"]
+
+        pred_batch = run_sample(model_batch, sample_key)
+        pred_batch = dict(pred_batch)
+        pred_batch.update(dataset.get_protein_positions(names))
+
+        for i, name in enumerate(names):
+            save_pdb(pred_batch, i, f"{output_path}/{name}.pdb")
+            _log.debug("saved %s.pdb", name)
+    _log.info("wrote PDB files to %s", output_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Training CLI — drop-in for the reference command
+(``README.md:40-43``): ``python optimize.py train.hdf5 100 model.pth``.
+
+Mirrors the reference argparse surface (``optimize.py:24-32``) and
+semantics: auto-resume from the output model if it exists, checkpoint
+every 100 batches and at epoch end, per-epoch CSV metrics next to the
+model file. TPU-native additions: ``--mesh-data`` for data-parallel
+sharding over a device mesh, ``--orbax-dir`` for full-state (params +
+optimizer + RNG) checkpointing, ``--bf16`` to run MLP matmuls at the MXU's
+native precision.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from argparse import ArgumentParser
+
+_log = logging.getLogger(__name__)
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("train_hdf5", help="train data")
+    p.add_argument("epoch_count", type=int, help="number of epochs over the data")
+    p.add_argument("output_model", help="output model parameters file (.pth)")
+    p.add_argument("--debug", "-d", action="store_const", const=True, default=False,
+                   help="run in debug mode (enables jax_debug_nans)")
+    p.add_argument("-T", type=int, default=1000, help="number of noise steps")
+    p.add_argument("--batch-size", "-b", type=int, default=64, help="data batch size")
+    p.add_argument("--num-workers", "-w", type=int, default=4,
+                   help="number of batch loading threads")
+    p.add_argument("--lr", type=float, default=0.001, help="learning rate")
+    # TPU-native extensions
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="devices on the data axis (0 = single device)")
+    p.add_argument("--orbax-dir", default=None,
+                   help="directory for full-state Orbax checkpoints")
+    p.add_argument("--bf16", action="store_true",
+                   help="run MLP matmuls in backend-default (bf16 MXU) precision")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--per-sample-t", action="store_true",
+                   help="draw one timestep per sample instead of per batch "
+                        "(deviates from the reference quirk)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    logging.basicConfig(
+        stream=sys.stdout, level=logging.DEBUG if args.debug else logging.INFO
+    )
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    from pmhc_tpu.data import PmhcDataset, PrefetchLoader
+    from pmhc_tpu.diffusion import DiffusionConfig
+    from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
+    from pmhc_tpu.models.import_torch import export_torch_checkpoint
+    from pmhc_tpu.models.nn import DEFAULT_PRECISION
+    from pmhc_tpu.parallel import batch_sharding, make_mesh
+    from pmhc_tpu.train import MetricsRecord, Trainer, TrainConfig
+
+    model_config = ScoreNetworkConfig(noise_step_count=args.T)
+    diffusion_config = DiffusionConfig(
+        noise_step_count=args.T, t_per_batch=not args.per_sample_t
+    )
+    train_config = TrainConfig(
+        learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed
+    )
+
+    mesh = make_mesh(n_data=args.mesh_data) if args.mesh_data else None
+
+    params = None
+    if os.path.isfile(args.output_model):
+        _log.info("resuming from %s", args.output_model)
+        params = import_torch_checkpoint(args.output_model)
+
+    trainer = Trainer(
+        model_config,
+        diffusion_config,
+        train_config,
+        mesh=mesh,
+        params=params,
+        precision=None if args.bf16 else DEFAULT_PRECISION,
+    )
+
+    ckpt_mgr = None
+    if args.orbax_dir:
+        from pmhc_tpu.train.checkpoints import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(args.orbax_dir)
+        if ckpt_mgr.latest_step() is not None:
+            trainer.params, trainer.opt_state, trainer.key, step = ckpt_mgr.restore(
+                trainer.params, trainer.opt_state
+            )
+            trainer.global_step = step
+            _log.info("restored orbax checkpoint at step %d", step)
+
+    dataset = PmhcDataset(args.train_hdf5)
+    loader = PrefetchLoader(
+        dataset,
+        batch_size=args.batch_size,
+        shuffle=True,
+        seed=args.seed,
+        num_workers=args.num_workers,
+        sharding=batch_sharding(mesh) if mesh else None,
+    )
+
+    def save_model():
+        export_torch_checkpoint(trainer.params, args.output_model)
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(trainer.global_step, trainer.params, trainer.opt_state, trainer.key)
+        _log.debug("saved %s", args.output_model)
+
+    metrics_path = args.output_model.replace(".pth", ".csv")
+    for epoch_index in range(args.epoch_count):
+        _log.debug("starting epoch %d", epoch_index)
+        metrics = MetricsRecord()
+        for i, batch in enumerate(loader):
+            trainer.train_batch(batch, metrics)
+            if i > 0 and i % 100 == 0:
+                if metrics.has_nan():  # reference aborts on NaN (optimizer.py:217)
+                    raise RuntimeError("NaN loss")
+                save_model()
+        if metrics.has_nan():
+            raise RuntimeError("NaN loss")
+        save_model()
+        metrics.save(metrics_path, epoch_index)
+        _log.info("epoch %d: %s", epoch_index, metrics.mean())
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
+
+
+if __name__ == "__main__":
+    main()

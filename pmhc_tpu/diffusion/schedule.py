@@ -1,0 +1,85 @@
+"""Noise schedule: linear beta with VDM-style direct interpolation.
+
+The reference schedule (``diffusion/optimizer.py:20-25,81-91``) is NOT a
+cumulative DDPM product: ``add_noise`` jumps x0 -> z_t in one step with
+beta(t) = beta_min + (beta_max - beta_min) * t/T, alpha = sqrt(1 - beta),
+sigma = sqrt(beta) (SURVEY.md §3.5.6). ``pow_schedule`` exists in the
+reference as dead code (``optimizer.py:23-25``); provided here as a
+selectable option.
+
+TPU design: all per-step scalars — including the sampler's derived
+alpha_ts / sigma_ts / sigma_t2s chain (``optimizer.py:153-157``) — are
+precomputed on the host in float64 (matching the reference's Python-float
+math) and stored as f32 device tables; inside jit they are O(1) gathers by
+a traced timestep, so one compiled train step serves every t and the
+sampler scans over a table instead of re-deriving scalars per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Engine hyperparameters; defaults are the reference's hard-coded
+    values (``optimizer.py:35-36,74,97``, ``optimize.py:29``)."""
+
+    noise_step_count: int = 1000  # T
+    beta_min: float = 0.0
+    beta_max: float = 0.8
+    schedule: str = "linear"  # "linear" | "pow" (reference's dead pow_schedule)
+    schedule_pow: float = 2.0
+    position_noise_scale: float = 5.0  # gen_noise trans stddev (optimizer.py:97)
+    position_loss_weight: float = 0.1  # total-loss weight (optimizer.py:74)
+    # reference quirk: one random timestep per BATCH, not per sample
+    # (optimizer.py:197, SURVEY.md §3.5.2); set False for the (better)
+    # per-sample variant — a documented deviation.
+    t_per_batch: bool = True
+
+
+class ScheduleTables:
+    """Precomputed f32 schedule tables, indexable by traced timesteps.
+
+    Index range [0, T]: the reference's sampler calls the model and the
+    schedule at t = T (``optimizer.py:236-244``) even though training only
+    draws t in [0, T-1] — SURVEY.md §3.5.2, preserved.
+    """
+
+    def __init__(self, config: DiffusionConfig):
+        T = config.noise_step_count
+        t = np.arange(T + 1, dtype=np.float64)
+        frac = t / T
+        if config.schedule == "pow":
+            frac = frac ** config.schedule_pow
+        beta = config.beta_min + (config.beta_max - config.beta_min) * frac
+        alpha = np.sqrt(1.0 - beta)
+        sigma = np.sqrt(beta)
+
+        # sampler step t -> s = t-1 constants (optimizer.py:153-157),
+        # defined for t in [1, T]; index 0 is padding (never used).
+        alpha_ts = np.ones_like(alpha)
+        alpha_ts[1:] = alpha[1:] / alpha[:-1]
+        sqr_sigma_ts = np.zeros_like(sigma)
+        sqr_sigma_ts[1:] = sigma[1:] ** 2 - sigma[:-1] ** 2 * alpha_ts[1:]
+        sigma_ts = np.sqrt(np.maximum(sqr_sigma_ts, 0.0))
+        sigma_t2s = np.zeros_like(sigma)
+        # sigma_t2s = sigma_ts * sigma_s / sigma_t; sigma_t=0 only at t=0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma_t2s[1:] = sigma_ts[1:] * sigma[:-1] / np.where(sigma[1:] > 0, sigma[1:], 1.0)
+
+        self.beta = jnp.asarray(beta, jnp.float32)
+        self.alpha = jnp.asarray(alpha, jnp.float32)
+        self.sigma = jnp.asarray(sigma, jnp.float32)
+        self.alpha_ts = jnp.asarray(alpha_ts, jnp.float32)
+        self.sqr_sigma_ts = jnp.asarray(sqr_sigma_ts, jnp.float32)
+        self.sigma_ts = jnp.asarray(sigma_ts, jnp.float32)
+        self.sigma_t2s = jnp.asarray(sigma_t2s, jnp.float32)
+
+    def beta_alpha_sigma(self, t):
+        """(beta, alpha, sigma) at (possibly traced) timestep t.
+        Mirrors ``optimizer.py:81-91``."""
+        return self.beta[t], self.alpha[t], self.sigma[t]

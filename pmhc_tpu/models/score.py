@@ -1,0 +1,140 @@
+"""The flagship score network: a 2-layer EGNN noise predictor.
+
+Behavioral twin of the reference ``Model`` (``diffusion/model.py:336-421``):
+- node features = 22-dim sequence one-hot + a scalar time feature t/T
+  (pocket nodes get 0 for the time slot, ``model.py:394-401``);
+- edge features = one-hot relative-position encoding of depth 2*max_len-1
+  over peptide pairs, zero toward the pocket (``model.py:349-359``);
+- layer 1: H=23 -> I=64 features; ReLU; pocket features zero-padded 23->64
+  (``model.py:407-412``); layer 2: 64 -> 1.
+
+TPU-first: the one-hot edge encoding never exists at runtime — each
+layer's edge contribution ``one_hot(relpos) @ W_e`` is a direct gather of
+first-layer weight rows by relative-position index (``relpos_edge_pre``),
+a [16, 16, 64] constant folded by XLA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmhc_tpu.geometry import RigidArray
+from pmhc_tpu.models import nn
+from pmhc_tpu.models.egnn import TRANSITION, egnn_forward, init_egnn_layer
+
+
+@dataclass(frozen=True)
+class ScoreNetworkConfig:
+    """Hyperparameters; defaults are the reference's hard-coded values
+    (``optimize.py:54``, ``model.py:349-371``)."""
+
+    max_len: int = 16  # peptide maxlen N
+    node_input_size: int = 22  # sequence one-hot width
+    noise_step_count: int = 1000  # T
+    inner_size: int = 64  # I: features between the two layers
+    message_size: int = 64  # M
+    pocket_maxlen: int = 80  # P
+
+    @property
+    def relposenc_depth(self) -> int:
+        return self.max_len * 2 - 1
+
+    @property
+    def node_feature_size(self) -> int:
+        return self.node_input_size + 1  # + time feature
+
+
+def init_score_network(key: jax.Array, config: ScoreNetworkConfig) -> nn.Params:
+    k1, k2 = jax.random.split(key)
+    H = config.node_feature_size
+    E = config.relposenc_depth
+    return {
+        "gnn1": init_egnn_layer(k1, H, E, config.inner_size, config.message_size),
+        "gnn2": init_egnn_layer(k2, config.inner_size, E, 1, config.message_size),
+    }
+
+
+def relpos_index(max_len: int) -> np.ndarray:
+    """[N, N] relative-position index in [0, 2N-2]; row i, col j ->
+    (N-1) + (i - j), matching reference ``model.py:353-356``."""
+    r = np.arange(max_len)
+    return (max_len - 1) + (r[:, None] - r[None, :])
+
+
+def relpos_edge_pre(layer_params: nn.Params, max_len: int) -> jnp.ndarray:
+    """Edge contribution to a layer's message pre-activation:
+    ``one_hot(relpos, depth) @ W1[2H:]`` == gather of W1 edge rows.
+    Returns [N, N, TRANSITION]."""
+    # jnp.asarray first: params may arrive as host numpy (e.g. imported
+    # from a torch checkpoint), and numpy arrays cannot be indexed by
+    # traced values inside jit/scan
+    w = jnp.asarray(layer_params["message"]["lin1"]["w"])
+    edge_depth = max_len * 2 - 1
+    w_e = w[-edge_depth:]  # [E, T] — edge rows are the tail of the concat
+    return w_e[relpos_index(max_len)]
+
+
+def score_network_forward(
+    params: nn.Params,
+    batch: Dict[str, Any],
+    t,
+    config: ScoreNetworkConfig,
+    precision=nn.DEFAULT_PRECISION,
+) -> Dict[str, Any]:
+    """Predict the noise on a batch of noised states.
+
+    Args:
+        batch: dict with ``frames`` (RigidArray [B, N]), ``torsions``
+            [B, N, 7, 2], ``features`` [B, N, 22], ``mask`` [B, N],
+            ``pocket_frames`` (RigidArray [B, P]), ``pocket_mask`` [B, P],
+            ``pocket_features`` [B, P, 22]. Masks may be bool or float.
+        t: timestep (python int or traced int array — fully scan-safe).
+
+    Returns: ``{"frames": RigidArray, "torsions": [B, N, 7, 2]}``.
+    """
+    frames: RigidArray = batch["frames"]
+    torsions = batch["torsions"]
+    features = batch["features"]
+    mask = batch["mask"].astype(jnp.float32)
+    pocket_frames: RigidArray = batch["pocket_frames"]
+    pocket_mask = batch["pocket_mask"].astype(jnp.float32)
+    pocket_features = batch["pocket_features"]
+
+    B, N = mask.shape
+    P = pocket_mask.shape[-1]
+
+    # time feature t/T on every peptide node; zero on pocket nodes
+    # (reference model.py:394-401). t may be scalar or per-sample [B].
+    ft = jnp.broadcast_to(
+        (jnp.asarray(t, jnp.float32) / config.noise_step_count).reshape(-1, 1, 1),
+        (B, N, 1),
+    )
+    h = jnp.concatenate((features, ft), axis=-1)  # [B, N, 23]
+    pocket_h = jnp.concatenate(
+        (pocket_features, jnp.zeros((B, P, 1), dtype=pocket_features.dtype)), axis=-1
+    )
+
+    edge_pre1 = relpos_edge_pre(params["gnn1"], config.max_len)
+    frames1, torsions1, inner = egnn_forward(
+        params["gnn1"], frames, torsions, h, edge_pre1, mask,
+        pocket_h, pocket_frames, pocket_mask, precision,
+    )
+
+    inner = jax.nn.relu(inner)
+    # pocket features zero-padded up to the inner width (model.py:411-412)
+    pocket_inner = jnp.pad(
+        pocket_h, ((0, 0), (0, 0), (0, config.inner_size - pocket_h.shape[-1]))
+    )
+
+    edge_pre2 = relpos_edge_pre(params["gnn2"], config.max_len)
+    frames2, torsions2, _ = egnn_forward(
+        params["gnn2"], frames1, torsions1, inner, edge_pre2, mask,
+        pocket_inner, pocket_frames, pocket_mask, precision,
+    )
+
+    return {"frames": frames2, "torsions": torsions2}

@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the hot compute paths."""
+
+from pmhc_tpu.ops.egnn_pallas import egnn_forward_pallas
+
+__all__ = ["egnn_forward_pallas"]

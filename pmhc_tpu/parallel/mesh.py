@@ -1,0 +1,57 @@
+"""Mesh construction and sharding rules.
+
+The reference has no distributed machinery at all (single process, single
+device — SURVEY.md §2.3). The TPU-native scaling story:
+
+- a 1-D ``Mesh(('data',))`` over all chips; the global batch is sharded on
+  its leading axis, parameters and optimizer state are replicated;
+- the train step runs under ``jit`` with NamedSharding annotations: XLA's
+  SPMD partitioner turns the batch-mean gradient into per-shard partial
+  sums + an ICI all-reduce (the ``psum`` the reference would have needed
+  NCCL for);
+- multi-host: ``jax.distributed.initialize()`` + per-host entry sharding
+  in the data loader (``PrefetchLoader(process_index=..., ...)``); the
+  same collectives ride DCN transparently on multi-slice.
+
+A ``model`` axis is reserved in ``make_mesh`` for sharding scaled-up score
+networks' MLP hidden dims (tensor parallelism); at the reference's 79K
+parameters it stays size 1 (SURVEY.md §2.3 "TP").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_spec(batch: dict, mesh: Mesh) -> dict:
+    """NamedSharding pytree matching a batch dict: every array sharded on
+    its leading (batch) dimension."""
+    spec = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda _: spec, batch)

@@ -1,0 +1,61 @@
+"""Device-side metric accumulation with per-epoch CSV output.
+
+Twin of the reference ``MetricsRecord`` (``diffusion/tools/metrics.py:8-40``)
+with one crucial difference: the reference calls ``.item()`` on every loss
+component every batch — a host sync per training step (SURVEY.md §5
+"Metrics"). Here the train step returns per-batch SUMS as device scalars;
+``add_batch`` just stashes them (async, no sync) and the single blocking
+transfer happens in ``mean()``/``save()`` once per epoch.
+
+CSV schema matches the reference exactly (lazy header, 3-decimal rounding,
+append mode), so existing loss-curve tooling reads both.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MetricsRecord:
+    def __init__(self):
+        self._sum_trees = []
+        self._size = 0
+
+    def add_batch(self, batch_sums: Dict[str, jnp.ndarray], batch_size: int):
+        """Accumulate a train step's per-batch loss sums (device scalars;
+        no host sync here)."""
+        self._sum_trees.append(batch_sums)
+        self._size += batch_size
+
+    def _totals(self) -> Dict[str, float]:
+        if not self._sum_trees:
+            return {}
+        # one reduction + one transfer for the whole epoch
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.sum(jnp.stack(xs)), *self._sum_trees)
+        host = jax.device_get(stacked)
+        return {k: float(v) for k, v in host.items()}
+
+    def mean(self) -> Dict[str, float]:
+        return {k: v / self._size for k, v in self._totals().items()}
+
+    def save(self, path: str, epoch_number: int):
+        means = self.mean()
+        keys = list(means.keys())
+        add_header = not os.path.isfile(path)
+        with open(path, "at") as f:
+            w = csv.writer(f, delimiter=",")
+            if add_header:
+                w.writerow(["epoch"] + keys)
+            w.writerow([epoch_number] + [round(means[k], 3) for k in keys])
+
+    def has_nan(self) -> bool:
+        """Host-side NaN check over everything accumulated so far (used by
+        the trainer's periodic NaN guard, replacing the reference's
+        per-step abort at ``optimizer.py:217-218``)."""
+        return any(np.isnan(v) for v in self._totals().values())

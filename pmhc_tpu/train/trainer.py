@@ -1,0 +1,197 @@
+"""The training engine: one jitted, donated, mesh-sharded train step.
+
+Twin of the reference's ``DiffusionModelOptimizer.optimize`` + the epoch
+loop in ``optimize.py:67-82``, re-architected for TPU:
+
+- the whole step (timestep draw, noise generation, forward process, model
+  forward, loss, backward, Adam update) is ONE compiled XLA program;
+  params/opt_state buffers are donated, so updates are in-place in HBM;
+- data parallelism is GSPMD: the step jits with NamedSharding annotations
+  (batch sharded on the 'data' mesh axis, params/opt replicated); XLA
+  partitions the batch-mean gradient into per-shard sums + an ICI
+  all-reduce — no hand-written collectives, no NCCL (SURVEY.md §2.3);
+- RNG is a carried jax.random key; the timestep is drawn ONCE PER BATCH
+  (reference quirk, ``optimizer.py:197``, SURVEY.md §3.5.2) unless
+  ``DiffusionConfig.t_per_batch=False``;
+- metrics leave the device as per-batch sums, no per-step host sync
+  (the reference syncs every step, ``tools/metrics.py:17``);
+- the NaN-loss abort (``optimizer.py:217-218``) is preserved as a
+  periodic host-side check (every ``nan_check_every`` steps), since a
+  per-step device->host sync would serialize the pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pmhc_tpu.diffusion.loss import diffusion_loss
+from pmhc_tpu.diffusion.noise import add_noise, gen_noise
+from pmhc_tpu.diffusion.schedule import DiffusionConfig, ScheduleTables
+from pmhc_tpu.geometry import RigidArray
+from pmhc_tpu.models import ScoreNetworkConfig, score_network_forward
+from pmhc_tpu.models.nn import DEFAULT_PRECISION
+from pmhc_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Defaults mirror the reference CLI (``optimize.py:29-32``)."""
+
+    learning_rate: float = 1e-3
+    batch_size: int = 64
+    checkpoint_every_batches: int = 100  # reference optimize.py:75
+    nan_check_every: int = 100
+    seed: int = 0
+
+
+MODEL_BATCH_KEYS = (
+    "torsions",
+    "features",
+    "mask",
+    "torsions_mask",
+    "pocket_features",
+    "pocket_mask",
+)
+
+
+def prepare_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Loader batch (tensor-7 frames) -> train-step input (RigidArray
+    frames, like ``Rigid.from_tensor_7`` at ``optimizer.py:201-202`` —
+    no quat normalization, SURVEY.md §3.5.10)."""
+    out = {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
+    out["frames"] = RigidArray.from_tensor_7(jnp.asarray(batch["frames"]))
+    out["pocket_frames"] = RigidArray.from_tensor_7(jnp.asarray(batch["pocket_frames"]))
+    return out
+
+
+def make_train_step(
+    model_config: ScoreNetworkConfig,
+    diffusion_config: DiffusionConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    precision=DEFAULT_PRECISION,
+):
+    """Build the jitted train step.
+
+    Returns ``step(params, opt_state, batch, key) ->
+    (params, opt_state, metric_sums)`` where ``metric_sums`` are per-batch
+    SUMS of the five loss components (device scalars).
+    """
+    tables = ScheduleTables(diffusion_config)
+    T = diffusion_config.noise_step_count
+
+    def step_fn(params, opt_state, batch, key):
+        frames: RigidArray = batch["frames"]
+        batch_shape = frames.shape  # (B, N)
+        # the key is carried device-side and advanced inside the step: no
+        # per-step host RNG dispatch (each host->TPU call costs a tunnel
+        # round trip under axon)
+        key, key_t, key_eps = jax.random.split(key, 3)
+
+        if diffusion_config.t_per_batch:
+            t = jax.random.randint(key_t, (), 0, T)  # one t per batch (quirk)
+        else:
+            t = jax.random.randint(key_t, (batch_shape[0],), 0, T)
+
+        epsilon = gen_noise(key_eps, batch_shape, diffusion_config)
+
+        def loss_fn(p):
+            zt = add_noise(batch, epsilon, t, tables)
+            pred = score_network_forward(p, zt, t, model_config, precision)
+            losses = diffusion_loss(
+                epsilon,
+                pred,
+                batch["mask"],
+                batch["torsions_mask"],
+                diffusion_config.position_loss_weight,
+            )
+            return jnp.mean(losses["total loss"]), losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        metric_sums = {k: jnp.sum(v) for k, v in losses.items()}
+        return new_params, new_opt_state, key, metric_sums
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1, 3))
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def batch_shardings(batch):
+        return jax.tree_util.tree_map(lambda _: data, batch)
+
+    # in_shardings must match the batch pytree structure, which is only
+    # known at call time; wrap to build them lazily and cache the jit.
+    jitted = {}
+
+    def step(params, opt_state, batch, key):
+        struct = jax.tree_util.tree_structure(batch)
+        if struct not in jitted:
+            jitted[struct] = jax.jit(
+                step_fn,
+                in_shardings=(repl, repl, batch_shardings(batch), repl),
+                out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1, 3),
+            )
+        return jitted[struct](params, opt_state, batch, key)
+
+    return step
+
+
+class Trainer:
+    """Epoch-loop driver mirroring the reference CLI semantics
+    (``optimize.py:52-82``): auto-resume if the output model exists,
+    checkpoint every N batches and at epoch end, CSV metrics per epoch."""
+
+    def __init__(
+        self,
+        model_config: ScoreNetworkConfig = ScoreNetworkConfig(),
+        diffusion_config: DiffusionConfig = DiffusionConfig(),
+        train_config: TrainConfig = TrainConfig(),
+        mesh=None,
+        params=None,
+        precision=DEFAULT_PRECISION,
+    ):
+        self.model_config = model_config
+        self.diffusion_config = diffusion_config
+        self.train_config = train_config
+        self.mesh = mesh
+
+        key = jax.random.key(train_config.seed)
+        self.key, init_key = jax.random.split(key)
+        if params is None:
+            from pmhc_tpu.models import init_score_network
+
+            params = init_score_network(init_key, model_config)
+        self.optimizer = optax.adam(train_config.learning_rate)
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+        if mesh is not None:
+            repl = replicated_sharding(mesh)
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+        self._step = make_train_step(
+            model_config, diffusion_config, self.optimizer, mesh, precision
+        )
+        self.global_step = 0
+
+    def train_batch(self, batch: Dict[str, Any], metrics=None):
+        """One optimization step on a loader batch (tensor-7 frames)."""
+        model_batch = prepare_batch(batch)
+        batch_size = model_batch["mask"].shape[0]
+        self.params, self.opt_state, self.key, sums = self._step(
+            self.params, self.opt_state, model_batch, self.key
+        )
+        self.global_step += 1
+        if metrics is not None:
+            metrics.add_batch(sums, batch_size)
+        return sums

@@ -46,6 +46,29 @@ def install():
         sys.modules["openfold.utils.loss"] = loss_shim
         sys.modules["openfold.np.residue_constants"] = of.residue_constants
 
+    if "Bio" not in sys.modules:
+        # BioPython is not installed in this environment; the reference's
+        # diffusion.optimizer transitively imports its PDB writer, so stub
+        # the Bio.PDB object model (golden tests never call save()).
+        bio = types.ModuleType("Bio")
+        bio_pdb = types.ModuleType("Bio.PDB")
+        placeholder = type("BioStub", (), {"__init__": lambda self, *a, **k: None})
+        for name, attr in (
+            ("Structure", "Structure"),
+            ("Model", "Model"),
+            ("Chain", "Chain"),
+            ("Residue", "Residue"),
+            ("Atom", "Atom"),
+            ("PDBIO", "PDBIO"),
+        ):
+            mod = types.ModuleType(f"Bio.PDB.{name}")
+            setattr(mod, attr, placeholder)
+            sys.modules[f"Bio.PDB.{name}"] = mod
+            setattr(bio_pdb, name, mod)
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.PDB"] = bio_pdb
+        bio.PDB = bio_pdb
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
 

@@ -1,0 +1,84 @@
+"""End-to-end smoke: train CLI then sample CLI on a tiny synthetic HDF5
+(SURVEY.md §4 tier 3, the BASELINE.json "Smoke" config shape)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pmhc_tpu.data import write_synthetic_hdf5
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    write_synthetic_hdf5(
+        str(d / "train.hdf5"), n_entries=6, peptide_lengths=(9, 10), seed=0
+    )
+    write_synthetic_hdf5(
+        str(d / "test.hdf5"), n_entries=2, peptide_lengths=(9,), seed=1
+    )
+    return d
+
+
+def test_train_cli_smoke(data_dir):
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    main([
+        str(data_dir / "train.hdf5"), "2", model_path,
+        "-T", "8", "--batch-size", "3", "--num-workers", "2",
+    ])
+    assert os.path.isfile(model_path)
+    csv_path = model_path.replace(".pth", ".csv")
+    assert os.path.isfile(csv_path)
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0].startswith("epoch,")  # reference CSV schema
+    assert len(lines) == 3  # header + 2 epochs
+
+    # auto-resume path: running again must load the existing .pth
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "3",
+    ])
+    assert len(open(csv_path).read().strip().splitlines()) == 4
+
+
+def test_train_cli_dp_mesh(data_dir, tmp_path):
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_dp.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "6", "--mesh-data", "2",
+    ])
+    assert os.path.isfile(model_path)
+
+
+def test_sample_cli_smoke(data_dir):
+    from pmhc_tpu.cli.sample_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    assert os.path.isfile(model_path), "train smoke must run first"
+    out_dir = str(data_dir / "sampled")
+    main([
+        model_path, str(data_dir / "test.hdf5"),
+        "-T", "8", "--batch-size", "2", "--output-dir", out_dir,
+    ])
+    pdbs = sorted(os.listdir(out_dir))
+    assert pdbs == ["SYN0000.pdb", "SYN0001.pdb"]
+
+    text = open(os.path.join(out_dir, pdbs[0])).read()
+    atom_lines = [l for l in text.splitlines() if l.startswith("ATOM")]
+    assert len(atom_lines) > 50
+    chains = {l[21] for l in atom_lines}
+    assert chains == {"P", "M"}
+    # peptide chain must contain backbone + terminal oxygens
+    p_names = [l[12:16].strip() for l in atom_lines if l[21] == "P"]
+    for required in ("N", "CA", "C", "O", "OXT"):
+        assert required in p_names
+    # coordinates parse and are finite
+    coords = np.array(
+        [[float(l[30:38]), float(l[38:46]), float(l[46:54])] for l in atom_lines]
+    )
+    assert np.isfinite(coords).all()

@@ -1,0 +1,147 @@
+"""Trainer tests: loss decreases, DP sharding equals single device,
+checkpoint round-trip (SURVEY.md §4 tiers 3-4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmhc_tpu.data import synthetic_batch
+from pmhc_tpu.diffusion import DiffusionConfig
+from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+from pmhc_tpu.parallel import make_mesh
+from pmhc_tpu.train import MetricsRecord, Trainer, TrainConfig
+from pmhc_tpu.train.trainer import prepare_batch
+
+MODEL_CONFIG = ScoreNetworkConfig()
+# short schedule for test speed; math is identical at any T
+DIFF_CONFIG = DiffusionConfig(noise_step_count=10)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(batch_size=8, seed=0)
+
+
+def test_train_step_runs_and_metrics_accumulate(batch):
+    trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=1))
+    metrics = MetricsRecord()
+    for _ in range(3):
+        trainer.train_batch(batch, metrics)
+    means = metrics.mean()
+    assert set(means) == {
+        "total loss", "positions loss", "rotations loss", "torsions loss", "rmsd",
+    }
+    assert all(np.isfinite(v) for v in means.values())
+    assert not metrics.has_nan()
+
+
+def test_loss_decreases_on_fixed_batch(batch):
+    trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=2, learning_rate=3e-3))
+    first = float(trainer.train_batch(batch)["total loss"])
+    last = first
+    for _ in range(30):
+        last = float(trainer.train_batch(batch)["total loss"])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_dp_sharded_gradients_match_single_device(batch):
+    """The core multi-device correctness property: gradients of the global
+    batch-mean loss under GSPMD sharding over the 8-device CPU mesh equal
+    the single-device gradients (identical injected noise)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pmhc_tpu.diffusion import ScheduleTables, add_noise, diffusion_loss, gen_noise
+    from pmhc_tpu.models import init_score_network, score_network_forward
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    params = init_score_network(jax.random.key(10), MODEL_CONFIG)
+    tables = ScheduleTables(DIFF_CONFIG)
+    model_batch = prepare_batch(batch)
+    epsilon = gen_noise(jax.random.key(11), model_batch["frames"].shape, DIFF_CONFIG)
+
+    def loss(p, b, eps):
+        zt = add_noise(b, eps, 5, tables)
+        pred = score_network_forward(p, zt, 5, MODEL_CONFIG)
+        losses = diffusion_loss(eps, pred, b["mask"], b["torsions_mask"])
+        return jnp.mean(losses["total loss"])
+
+    grad_single = jax.jit(jax.grad(loss))(params, model_batch, epsilon)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    shard = lambda tree: jax.tree_util.tree_map(lambda _: data, tree)
+    grad_sharded = jax.jit(
+        jax.grad(loss),
+        in_shardings=(repl, shard(model_batch), shard(epsilon)),
+        out_shardings=repl,
+    )(params, model_batch, epsilon)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grad_single), jax.tree_util.tree_leaves(grad_sharded)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_sharded_training_tracks_single_device(batch):
+    """Full Adam steps under sharding stay close to single-device (exact
+    equality is not expected: all-reduce order perturbs near-zero grads,
+    which Adam's scale-free update amplifies)."""
+    mesh = make_mesh()
+    t_single = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=3))
+    t_sharded = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=3), mesh=mesh)
+
+    for _ in range(2):
+        s_single = t_single.train_batch(batch)
+        s_sharded = t_sharded.train_batch(batch)
+
+    np.testing.assert_allclose(
+        float(s_single["total loss"]), float(s_sharded["total loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_single.params),
+        jax.tree_util.tree_leaves(t_sharded.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_per_sample_t_variant(batch):
+    cfg = DiffusionConfig(noise_step_count=10, t_per_batch=False)
+    trainer = Trainer(MODEL_CONFIG, cfg, TrainConfig(seed=4))
+    sums = trainer.train_batch(batch)
+    assert np.isfinite(float(sums["total loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, batch):
+    from pmhc_tpu.train.checkpoints import CheckpointManager
+
+    trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=5))
+    trainer.train_batch(batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, trainer.params, trainer.opt_state, trainer.key)
+    mgr.wait()
+
+    fresh_params = init_score_network(jax.random.key(99), MODEL_CONFIG)
+    fresh_opt = trainer.optimizer.init(fresh_params)
+    params, opt_state, key, step = mgr.restore(fresh_params, fresh_opt)
+    assert step == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.params), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from pmhc_tpu.models.import_torch import export_torch_checkpoint, import_torch_checkpoint
+
+    params = init_score_network(jax.random.key(0), MODEL_CONFIG)
+    path = str(tmp_path / "model.pth")
+    export_torch_checkpoint(params, path)
+    back = import_torch_checkpoint(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
