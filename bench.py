@@ -38,15 +38,23 @@ def bench_ours() -> float:
     from pmhc_tpu.models import ScoreNetworkConfig
     from pmhc_tpu.train import Trainer, TrainConfig
 
+    import numpy as np
+
     trainer = Trainer(ScoreNetworkConfig(), DiffusionConfig(), TrainConfig(seed=0))
     batch = synthetic_batch(batch_size=BATCH_SIZE, seed=0)
 
+    # NOTE: the timing barrier is a device_get (np.asarray), NOT
+    # block_until_ready — the latter returns early under the axon TPU
+    # platform (measured: sampler "time" was flat in T with block, linear
+    # with device_get). Steps are data-dependent (params chain), so one
+    # final fetch bounds the whole pipeline.
     for _ in range(WARMUP):
-        jax.block_until_ready(trainer.train_batch(batch))
+        sums = trainer.train_batch(batch)
+    np.asarray(sums["total loss"])
     start = time.perf_counter()
     for _ in range(ITERS):
         sums = trainer.train_batch(batch)
-    jax.block_until_ready(sums)
+    np.asarray(sums["total loss"])
     elapsed = time.perf_counter() - start
     return ITERS / elapsed
 

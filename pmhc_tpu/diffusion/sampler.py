@@ -35,12 +35,19 @@ def sample(
     model_config: ScoreNetworkConfig,
     tables: ScheduleTables | None = None,
     precision=DEFAULT_PRECISION,
+    injected_noise: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
     """Run the full reverse diffusion from the noised state in ``batch``.
 
     ``batch["frames"]``/``batch["torsions"]`` hold the initial (pure noise)
     state; everything else (features, masks, pocket) is static context.
     Returns the batch dict with denoised frames/torsions.
+
+    ``injected_noise`` optionally bypasses the internal RNG with
+    pre-generated per-step noise (a Noise pytree with a leading [T] axis,
+    index 0 used at t=T): the parity hook for comparing trajectories
+    against the reference with identical stochastic draws (SURVEY.md §7
+    "Hard parts": the two frameworks' RNGs cannot be synchronized).
     """
     if tables is None:
         tables = ScheduleTables(config)
@@ -49,7 +56,8 @@ def sample(
 
     static = {k: v for k, v in batch.items() if k not in ("frames", "torsions")}
 
-    def step(carry, t):
+    def step(carry, xs):
+        t, rand = xs
         frames, torsions = carry
         model_batch = dict(static)
         model_batch["frames"] = frames
@@ -58,8 +66,9 @@ def sample(
         predicted = score_network_forward(
             params, model_batch, t, model_config, precision
         )
-        step_key = jax.random.fold_in(key, t)
-        rand = gen_noise(step_key, batch_shape, config)
+        if rand is None:
+            step_key = jax.random.fold_in(key, t)
+            rand = gen_noise(step_key, batch_shape, config)
         denoised = remove_noise(
             {"frames": frames, "torsions": torsions},
             predicted,
@@ -71,8 +80,14 @@ def sample(
         return (denoised["frames"], denoised["torsions"]), None
 
     ts = jnp.arange(T, 0, -1)
+    if injected_noise is None:
+        step_fn = lambda carry, t: step(carry, (t, None))
+        xs = ts
+    else:
+        step_fn = step
+        xs = (ts, injected_noise)
     (frames, torsions), _ = jax.lax.scan(
-        step, (batch["frames"], batch["torsions"]), ts
+        step_fn, (batch["frames"], batch["torsions"]), xs
     )
 
     result = dict(batch)

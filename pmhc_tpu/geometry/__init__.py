@@ -34,7 +34,10 @@ from pmhc_tpu.geometry.sincos import (
     partial_sin_cos,
     get_sin_cos_angle,
 )
+from pmhc_tpu.geometry.quat import spherical_to_quat, quat_multiply_by_vec
 from pmhc_tpu.geometry.rigid import RigidArray
+from pmhc_tpu.geometry.frame import get_rmsd
+from pmhc_tpu.geometry.fape import compute_fape
 
 __all__ = [
     "quat_multiply",
@@ -54,5 +57,9 @@ __all__ = [
     "inverse_sin_cos",
     "partial_sin_cos",
     "get_sin_cos_angle",
+    "spherical_to_quat",
+    "quat_multiply_by_vec",
     "RigidArray",
+    "get_rmsd",
+    "compute_fape",
 ]

@@ -39,6 +39,12 @@ class ScoreNetworkConfig:
     inner_size: int = 64  # I: features between the two layers
     message_size: int = 64  # M
     pocket_maxlen: int = 80  # P
+    # "pallas": run each EGNN layer as the fused VMEM-resident kernel
+    # (pmhc_tpu.ops.egnn_pallas) — forward/inference path only (the
+    # training path stays on XLA, which generates its backward);
+    # "xla": block-matmul jnp implementation.
+    backend: str = "xla"
+    pallas_batch_block: int = 8
 
     @property
     def relposenc_depth(self) -> int:
@@ -119,10 +125,21 @@ def score_network_forward(
         (pocket_features, jnp.zeros((B, P, 1), dtype=pocket_features.dtype)), axis=-1
     )
 
+    if config.backend == "pallas":
+        from pmhc_tpu.ops import egnn_forward_pallas
+
+        def layer(p, *args):
+            return egnn_forward_pallas(
+                p, *args, batch_block=config.pallas_batch_block
+            )
+    else:
+        def layer(p, *args):
+            return egnn_forward(p, *args, precision)
+
     edge_pre1 = relpos_edge_pre(params["gnn1"], config.max_len)
-    frames1, torsions1, inner = egnn_forward(
+    frames1, torsions1, inner = layer(
         params["gnn1"], frames, torsions, h, edge_pre1, mask,
-        pocket_h, pocket_frames, pocket_mask, precision,
+        pocket_h, pocket_frames, pocket_mask,
     )
 
     inner = jax.nn.relu(inner)
@@ -132,9 +149,9 @@ def score_network_forward(
     )
 
     edge_pre2 = relpos_edge_pre(params["gnn2"], config.max_len)
-    frames2, torsions2, _ = egnn_forward(
+    frames2, torsions2, _ = layer(
         params["gnn2"], frames1, torsions1, inner, edge_pre2, mask,
-        pocket_inner, pocket_frames, pocket_mask, precision,
+        pocket_inner, pocket_frames, pocket_mask,
     )
 
     return {"frames": frames2, "torsions": torsions2}

@@ -5,26 +5,32 @@ tensor [B, N, N+P, M] = [64, 16, 96, 64] plus one hidden activation of the
 same shape per MLP. The XLA path materializes several of these in HBM per
 layer (6 MLPs share `message`, so fusion cannot eliminate it). This kernel
 keeps EVERYTHING for a block of batch elements resident in VMEM: inputs
-stream in once, the four outputs stream out once, and the ~6x [B*N*(N+P), 64]
-x [64, 64] matmuls run back to back on the MXU with VPU epilogues fused in
-between.
+stream in once, the outputs stream out once, and the ~6x
+[B*N*(N+P), 64] x [64, 64] matmuls run back to back on the MXU with VPU
+epilogues fused in between.
 
 Semantics are identical to ``pmhc_tpu.models.egnn.egnn_forward`` (itself
 the behavioral twin of reference ``diffusion/model.py:83-333``), including
 the quirks: unnormalized sigmoid quat deltas, -1e9 softmax masking,
 all-neighbour message sums. Parity is enforced by
-``tests/unit/test_pallas.py`` (interpret mode on CPU) and the TPU check in
-the benchmarks.
+``tests/unit/test_pallas.py`` (interpret mode on CPU) plus a TPU run in
+``tools/bench_sampler.py``.
+
+Layout discipline (Mosaic rejects shape casts that move the lane dim):
+every tensor keeps its FEATURE axis (H/T/M/7/4/3/1) as the last (lane)
+dimension; the pair structure (BB, N, NP) lives in sublane dims and is
+reshaped/reduced freely. Per-pair scalars are [R, 1]; attention weights
+are [BB*N, NP, 1] and reduce over the sublane NP axis. Quaternion algebra
+works on [R, 4] arrays via lane slicing + lane concatenation.
 
 Grid: one cell per batch block (BB elements). Weights and the constant
 edge term use constant index maps, so Mosaic keeps them VMEM-resident
-across grid steps. The forward is used for inference/sampling (no custom
-VJP yet — training uses the XLA path, whose backward XLA generates).
+across grid steps. Forward-only: used for inference/sampling (training
+stays on the XLA path, whose backward XLA generates).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -42,16 +48,17 @@ F32 = jnp.float32
 
 
 def _dot(a, b):
-    return jax.lax.dot_general(
+    return lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())), preferred_element_type=F32,
         precision=lax.Precision.HIGHEST,
     )
 
 
-def _quat_mul(q1, q2):
-    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
-    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
-    return jnp.stack(
+def _qmul(q1, q2):
+    """Hamilton product on [R, 4] arrays: lane slices in, lane concat out."""
+    w1, x1, y1, z1 = q1[:, 0:1], q1[:, 1:2], q1[:, 2:3], q1[:, 3:4]
+    w2, x2, y2, z2 = q2[:, 0:1], q2[:, 1:2], q2[:, 2:3], q2[:, 3:4]
+    return jnp.concatenate(
         (
             w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
             w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
@@ -62,6 +69,18 @@ def _quat_mul(q1, q2):
     )
 
 
+def _expand_i(x, NP):
+    """[BB, N, C] -> [BB*N*NP, C]: broadcast each residue over neighbours."""
+    BB, N, C = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (BB, N, NP, C)).reshape(BB * N * NP, C)
+
+
+def _expand_j(x, N):
+    """[BB, NP, C] -> [BB*N*NP, C]: tile the neighbour axis per residue."""
+    BB, NP, C = x.shape
+    return jnp.broadcast_to(x[:, None, :, :], (BB, N, NP, C)).reshape(BB * N * NP, C)
+
+
 def _kernel(
     # data refs (leading dim = batch block BB)
     h_ref,  # [BB, N, H]
@@ -70,144 +89,122 @@ def _kernel(
     ti_ref,  # [BB, N, 3]
     qj_ref,  # [BB, NP, 4]
     tj_ref,  # [BB, NP, 3]
-    tors_ref,  # [BB, N, 14]
-    mask_ref,  # [BB, N, NP] message mask (float)
+    tors_flat_ref,  # [BB, N, 14] (sin0 cos0 sin1 cos1 ...)
+    tors_sin_ref,  # [BB, N, 7]
+    tors_cos_ref,  # [BB, N, 7]
+    mask_ref,  # [BB, N, NP, 1] message mask (float)
     edge_pre_ref,  # [N, NP, T] constant edge contribution
-    # message mlp
+    # six MLPs: (w1, b1, w2, b2) each; b* passed as [1, dim]
     mw1_ref, mb1_ref, mw2_ref, mb2_ref,
-    # attention mlp
     aw1_ref, ab1_ref, aw2_ref, ab2_ref,
-    # feature mlp
     fw1_ref, fb1_ref, fw2_ref, fb2_ref,
-    # translation mlp
     lw1_ref, lb1_ref, lw2_ref, lb2_ref,
-    # rotation mlp
     rw1_ref, rb1_ref, rw2_ref, rb2_ref,
-    # torsion mlp
     tw1_ref, tb1_ref, tw2_ref, tb2_ref,
     # outputs
     out_q_ref,  # [BB, N, 4]
     out_t_ref,  # [BB, N, 3]
-    out_tors_ref,  # [BB, N, 14]
+    out_sin_ref,  # [BB, N, 7]
+    out_cos_ref,  # [BB, N, 7]
     out_feat_ref,  # [BB, N, O]
 ):
     BB, N, H = h_ref.shape
     NP = hall_ref.shape[1]
-    T = mb1_ref.shape[0]
-    M = mb2_ref.shape[0]
+    T = mw2_ref.shape[0]
+    M = mw2_ref.shape[1]
+    R = BB * N * NP
+    BN = BB * N
 
     h = h_ref[:]
-    h_all = hall_ref[:]
-    q_i = qi_ref[:]
-    t_i = ti_ref[:]
-    q_j = qj_ref[:]
-    t_j = tj_ref[:]
-    mask = mask_ref[:]
 
-    # ---- message: pre-activation via block matmuls, then hidden->M ------
+    # ---- message: block matmuls -> hidden -> M --------------------------
     mw1 = mw1_ref[:]  # [2H + E, T]
-    a_i = _dot(h.reshape(BB * N, H), mw1[:H]).reshape(BB, N, 1, T)
-    a_j = _dot(h_all.reshape(BB * NP, H), mw1[H : 2 * H]).reshape(BB, 1, NP, T)
-    pre = a_i + a_j + edge_pre_ref[:][None] + mb1_ref[:]
-    hid = jnp.maximum(pre, 0.0)
-    message = (
-        _dot(hid.reshape(BB * N * NP, T), mw2_ref[:]) + mb2_ref[:]
-    ).reshape(BB, N, NP, M)
+    h_i = _expand_i(h, NP)  # [R, H]
+    h_j = _expand_j(hall_ref[:], N)  # [R, H]
+    edge = jnp.broadcast_to(edge_pre_ref[:][None], (BB, N, NP, T)).reshape(R, T)
+    pre = _dot(h_i, mw1[:H]) + _dot(h_j, mw1[H : 2 * H]) + edge + mb1_ref[:]
+    message = _dot(jnp.maximum(pre, 0.0), mw2_ref[:]) + mb2_ref[:]  # [R, M]
 
-    # ---- attention ------------------------------------------------------
-    d2 = jnp.sum(jnp.square(t_i[:, :, None, :] - t_j[:, None, :, :]), axis=-1)
-    qdot = jnp.sum(q_i[:, :, None, :] * q_j[:, None, :, :], axis=-1)
+    # ---- attention logits -> [BN, NP, 1] softmax over sublane NP --------
+    t_i = _expand_i(ti_ref[:], NP)  # [R, 3]
+    t_j = _expand_j(tj_ref[:], N)  # [R, 3]
+    d2 = jnp.sum(jnp.square(t_i - t_j), axis=-1, keepdims=True)  # [R, 1]
+    q_i = _expand_i(qi_ref[:], NP)  # [R, 4]
+    q_j = _expand_j(qj_ref[:], N)  # [R, 4]
+    qdot = jnp.sum(q_i * q_j, axis=-1, keepdims=True)
     qdot2 = jnp.square(qdot)
+
     aw1 = aw1_ref[:]  # [M + 2, T]
     att_pre = (
-        _dot(message.reshape(BB * N * NP, M), aw1[:M]).reshape(BB, N, NP, T)
-        + (-d2)[..., None] * aw1[M]
-        + qdot2[..., None] * aw1[M + 1]
+        _dot(message, aw1[:M])
+        + (-d2) * aw1[M : M + 1]
+        + qdot2 * aw1[M + 1 : M + 2]
         + ab1_ref[:]
     )
-    att_hid = jnp.maximum(att_pre, 0.0)
-    logits = (
-        _dot(att_hid.reshape(BB * N * NP, T), aw2_ref[:]) + ab2_ref[:]
-    ).reshape(BB, N, NP)
-    logits = logits - (1.0 - mask) * INFINITY
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    exp = jnp.exp(logits)
-    weights = exp / jnp.sum(exp, axis=-1, keepdims=True)  # [BB, N, NP]
+    logits = _dot(jnp.maximum(att_pre, 0.0), aw2_ref[:]) + ab2_ref[:]  # [R, 1]
+    logits3 = logits.reshape(BN, NP, 1)
+    mask3 = mask_ref[:].reshape(BN, NP, 1)
+    logits3 = logits3 - (1.0 - mask3) * INFINITY
+    logits3 = logits3 - jnp.max(logits3, axis=-2, keepdims=True)
+    expw = jnp.exp(logits3)
+    w3 = expw / jnp.sum(expw, axis=-2, keepdims=True)  # [BN, NP, 1]
 
-    # ---- feature update (sums over ALL neighbours, masked included) -----
-    msg_sum = jnp.sum(message, axis=-2)  # [BB, N, M]
+    # ---- feature update (sum over ALL neighbours, masked included) ------
+    msg3 = message.reshape(BN, NP, M)
+    msg_sum = jnp.sum(msg3, axis=-2)  # [BN, M]
     fw1 = fw1_ref[:]  # [H + M, T]
     feat_pre = (
-        _dot(h.reshape(BB * N, H), fw1[:H])
-        + _dot(msg_sum.reshape(BB * N, M), fw1[H:])
-        + fb1_ref[:]
+        _dot(h.reshape(BN, H), fw1[:H]) + _dot(msg_sum, fw1[H:]) + fb1_ref[:]
     )
-    feat_hid = jnp.maximum(feat_pre, 0.0)
-    out_feat = _dot(feat_hid, fw2_ref[:]) + fb2_ref[:]
+    out_feat = _dot(jnp.maximum(feat_pre, 0.0), fw2_ref[:]) + fb2_ref[:]
     out_feat_ref[:] = out_feat.reshape(BB, N, -1)
 
     # ---- rotation update ------------------------------------------------
-    # conjugate built by concatenation (pallas kernels cannot capture
-    # host-constant arrays)
-    conj_q_j = jnp.concatenate((q_j[..., :1], -q_j[..., 1:]), axis=-1)
-    inv_q_j = conj_q_j / jnp.sum(q_j * q_j, axis=-1, keepdims=True)
-    inv_q_j = inv_q_j[:, None, :, :]
-    q_j_b = q_j[:, None, :, :]
-    local_quats = _quat_mul(inv_q_j, _quat_mul(q_i[:, :, None, :], q_j_b))
+    conj_qj = jnp.concatenate((q_j[:, 0:1], -q_j[:, 1:]), axis=-1)
+    inv_qj = conj_qj / jnp.sum(q_j * q_j, axis=-1, keepdims=True)
+    local_quats = _qmul(inv_qj, _qmul(q_i, q_j))  # [R, 4]
     rw1 = rw1_ref[:]  # [M + 4, T]
-    rot_pre = (
-        _dot(message.reshape(BB * N * NP, M), rw1[:M]).reshape(BB, N, NP, T)
-        + _dot(local_quats.reshape(BB * N * NP, 4), rw1[M:]).reshape(BB, N, NP, T)
-        + rb1_ref[:]
-    )
-    rot_hid = jnp.maximum(rot_pre, 0.0)
+    rot_pre = _dot(message, rw1[:M]) + _dot(local_quats, rw1[M:]) + rb1_ref[:]
+    # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)
     local_delta = jax.nn.sigmoid(
-        (_dot(rot_hid.reshape(BB * N * NP, T), rw2_ref[:]) + rb2_ref[:]).reshape(
-            BB, N, NP, 4
-        )
-    )  # used UNNORMALIZED (reference quirk, model.py:291-292)
-    global_delta = _quat_mul(q_j_b, _quat_mul(local_delta, inv_q_j))
-    gd = jnp.sum(global_delta * weights[..., None], axis=-2)  # [BB, N, 4]
-    has_nb = jnp.sum(mask, axis=-1) > 0.0
+        _dot(jnp.maximum(rot_pre, 0.0), rw2_ref[:]) + rb2_ref[:]
+    )  # [R, 4]
+    global_delta = _qmul(q_j, _qmul(local_delta, inv_qj))  # [R, 4]
+    gd = jnp.sum(global_delta.reshape(BN, NP, 4) * w3, axis=-2)  # [BN, 4]
+    has_nb = jnp.sum(mask3, axis=-2) > 0.0  # [BN, 1]
     identity_q = (
-        jax.lax.broadcasted_iota(jnp.int32, (BB, N, 4), dimension=2) == 0
+        lax.broadcasted_iota(jnp.int32, (BN, 4), dimension=1) == 0
     ).astype(F32)
-    gd = jnp.where(has_nb[..., None], gd, identity_q)
-    gd = gd / jnp.maximum(
-        jnp.sqrt(jnp.sum(gd * gd, axis=-1, keepdims=True)), 1e-12
-    )
-    upd_q = _quat_mul(gd, q_i)
-    out_q_ref[:] = upd_q / jnp.maximum(
+    gd = jnp.where(has_nb, gd, identity_q)
+    gd = gd / jnp.maximum(jnp.sqrt(jnp.sum(gd * gd, axis=-1, keepdims=True)), 1e-12)
+    upd_q = _qmul(gd, qi_ref[:].reshape(BN, 4))
+    upd_q = upd_q / jnp.maximum(
         jnp.sqrt(jnp.sum(upd_q * upd_q, axis=-1, keepdims=True)), 1e-12
     )
+    out_q_ref[:] = upd_q.reshape(BB, N, 4)
 
     # ---- torsion update -------------------------------------------------
-    tors = tors_ref[:]  # [BB, N, 14] flat (sin, cos) pairs
     tw1 = tw1_ref[:]  # [M + 14, T]
-    tor_pre = (
-        _dot(message.reshape(BB * N * NP, M), tw1[:M]).reshape(BB, N, NP, T)
-        + (_dot(tors.reshape(BB * N, 14), tw1[M:]) ).reshape(BB, N, 1, T)
-        + tb1_ref[:]
-    )
-    tor_hid = jnp.maximum(tor_pre, 0.0)
-    m_delta_a = (
-        _dot(tor_hid.reshape(BB * N * NP, T), tw2_ref[:]) + tb2_ref[:]
-    ).reshape(BB, N, NP, N_TORSIONS)
-    delta_a = jnp.sum(m_delta_a * weights[..., None], axis=-2)  # [BB, N, 7]
+    tor_node = _dot(tors_flat_ref[:].reshape(BN, 14), tw1[M:])  # [BN, T]
+    tor_node_exp = jnp.broadcast_to(
+        tor_node.reshape(BN, 1, T), (BN, NP, T)
+    ).reshape(R, T)
+    tor_pre = _dot(message, tw1[:M]) + tor_node_exp + tb1_ref[:]
+    m_delta_a = _dot(jnp.maximum(tor_pre, 0.0), tw2_ref[:]) + tb2_ref[:]  # [R, 7]
+    delta_a = jnp.sum(m_delta_a.reshape(BN, NP, N_TORSIONS) * w3, axis=-2)  # [BN, 7]
     sin_d, cos_d = jnp.sin(delta_a), jnp.cos(delta_a)
-    sin_t = tors.reshape(BB, N, N_TORSIONS, 2)[..., 0]
-    cos_t = tors.reshape(BB, N, N_TORSIONS, 2)[..., 1]
-    out_sin = sin_d * cos_t + cos_d * sin_t
-    out_cos = cos_d * cos_t - sin_d * sin_t
-    out_tors_ref[:] = jnp.stack((out_sin, out_cos), axis=-1).reshape(BB, N, 14)
+    sin_t = tors_sin_ref[:].reshape(BN, N_TORSIONS)
+    cos_t = tors_cos_ref[:].reshape(BN, N_TORSIONS)
+    out_sin_ref[:] = (sin_d * cos_t + cos_d * sin_t).reshape(BB, N, N_TORSIONS)
+    out_cos_ref[:] = (cos_d * cos_t - sin_d * sin_t).reshape(BB, N, N_TORSIONS)
 
     # ---- translation update ---------------------------------------------
-    lw1 = lw1_ref[:]  # [M, T]
-    tr_pre = _dot(message.reshape(BB * N * NP, M), lw1) + lb1_ref[:]
-    tr_hid = jnp.maximum(tr_pre, 0.0)
-    m = (_dot(tr_hid, lw2_ref[:]) + lb2_ref[:]).reshape(BB, N, NP, 1)
-    r = t_i[:, :, None, :] - t_j[:, None, :, :]
-    out_t_ref[:] = t_i + jnp.sum(m * r * weights[..., None], axis=-2)
+    tr_hid = jnp.maximum(_dot(message, lw1_ref[:]) + lb1_ref[:], 0.0)
+    m_tr = _dot(tr_hid, lw2_ref[:]) + lb2_ref[:]  # [R, 1]
+    mw = m_tr.reshape(BN, NP, 1) * w3  # [BN, NP, 1]
+    r3 = (t_i - t_j).reshape(BN, NP, 3)
+    upd = jnp.sum(mw * r3, axis=-2)  # [BN, 3]
+    out_t_ref[:] = (ti_ref[:].reshape(BN, 3) + upd).reshape(BB, N, 3)
 
 
 def egnn_forward_pallas(
@@ -231,13 +228,13 @@ def egnn_forward_pallas(
     T = params["message"]["lin1"]["b"].shape[0]
     O = params["feature"]["lin2"]["b"].shape[0]
 
-    # pad the batch up to a block multiple
     BB = min(batch_block, B)
     pad = (-B) % BB
-    if pad:
-        padder = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    else:
-        padder = lambda x: x
+    padder = (
+        (lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)))
+        if pad
+        else (lambda x: x)
+    )
 
     pep_mask = peptide_mask.astype(F32)
     pk_mask = pocket_mask.astype(F32)
@@ -248,47 +245,54 @@ def egnn_forward_pallas(
             pep_mask[:, :, None] * pk_mask[:, None, :],
         ),
         axis=-1,
-    )
+    )[..., None]  # [B, N, NP, 1]
 
     h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
     q_j = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
     t_j = jnp.concatenate((peptide_frames.trans, pocket_frames.trans), axis=-2)
     edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))  # [N, NP, T]
     tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
+    tors_sin = peptide_torsions[..., 0]
+    tors_cos = peptide_torsions[..., 1]
 
     mlps = []
     for name in ("message", "attention", "feature", "translation", "rotation", "torsion"):
         p = params[name]
-        mlps += [p["lin1"]["w"], p["lin1"]["b"], p["lin2"]["w"], p["lin2"]["b"]]
-    mlps = [jnp.asarray(w, F32) for w in mlps]
+        mlps += [
+            jnp.asarray(p["lin1"]["w"], F32),
+            jnp.asarray(p["lin1"]["b"], F32).reshape(1, -1),
+            jnp.asarray(p["lin2"]["w"], F32),
+            jnp.asarray(p["lin2"]["b"], F32).reshape(1, -1),
+        ]
 
     grid = ((B + pad) // BB,)
-    db = lambda *tail: pl.BlockSpec((BB,) + tail, lambda i: (i,) + (0,) * len(tail),
-                                    memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                       memory_space=pltpu.VMEM)
+    db = lambda *tail: pl.BlockSpec(
+        (BB,) + tail, lambda i: (i,) + (0,) * len(tail), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
 
     in_specs = [
-        db(N, H),       # h
-        db(NP, H),      # h_all
-        db(N, 4),       # q_i
-        db(N, 3),       # t_i
-        db(NP, 4),      # q_j
-        db(NP, 3),      # t_j
-        db(N, 14),      # torsions
-        db(N, NP),      # mask
+        db(N, H),        # h
+        db(NP, H),       # h_all
+        db(N, 4),        # q_i
+        db(N, 3),        # t_i
+        db(NP, 4),       # q_j
+        db(NP, 3),       # t_j
+        db(N, 14),       # torsions flat
+        db(N, N_TORSIONS),  # torsion sin
+        db(N, N_TORSIONS),  # torsion cos
+        db(N, NP, 1),    # mask
         const((N, NP, T)),  # edge_pre
     ] + [const(w.shape) for w in mlps]
 
-    out_specs = (db(N, 4), db(N, 3), db(N, 14), db(N, O))
-    out_shape = (
-        jax.ShapeDtypeStruct((B + pad, N, 4), F32),
-        jax.ShapeDtypeStruct((B + pad, N, 3), F32),
-        jax.ShapeDtypeStruct((B + pad, N, 14), F32),
-        jax.ShapeDtypeStruct((B + pad, N, O), F32),
+    out_specs = (db(N, 4), db(N, 3), db(N, N_TORSIONS), db(N, N_TORSIONS), db(N, O))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B + pad, N, c), F32) for c in (4, 3, N_TORSIONS, N_TORSIONS, O)
     )
 
-    out_q, out_t, out_tors, out_feat = pl.pallas_call(
+    out_q, out_t, out_sin, out_cos, out_feat = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=in_specs,
@@ -303,17 +307,16 @@ def egnn_forward_pallas(
         padder(q_j),
         padder(t_j),
         padder(tors_flat),
+        padder(tors_sin),
+        padder(tors_cos),
         padder(msg_mask),
         edge_full,
         *mlps,
     )
 
     if pad:
-        out_q, out_t, out_tors, out_feat = (
-            out_q[:B], out_t[:B], out_tors[:B], out_feat[:B]
+        out_q, out_t, out_sin, out_cos, out_feat = (
+            out_q[:B], out_t[:B], out_sin[:B], out_cos[:B], out_feat[:B]
         )
-    return (
-        RigidArray(out_q, out_t),
-        out_tors.reshape(B, N, N_TORSIONS, 2),
-        out_feat,
-    )
+    out_tors = jnp.stack((out_sin, out_cos), axis=-1)
+    return RigidArray(out_q, out_t), out_tors, out_feat

@@ -6,5 +6,13 @@ from pmhc_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch_spec,
 )
+from pmhc_tpu.parallel.distributed import initialize_multihost, loader_shard_args
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch_spec"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch_spec",
+    "initialize_multihost",
+    "loader_shard_args",
+]

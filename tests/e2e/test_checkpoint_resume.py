@@ -1,0 +1,60 @@
+"""Checkpoint/resume flows: Orbax full-state resume through the train CLI,
+and sharded loader device placement (SURVEY.md §5 failure-detection row)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pmhc_tpu.data import PmhcDataset, PrefetchLoader, write_synthetic_hdf5
+
+
+@pytest.fixture(scope="module")
+def h5(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume")
+    path = str(d / "train.hdf5")
+    write_synthetic_hdf5(path, n_entries=8, peptide_lengths=(9,), seed=2)
+    return path
+
+
+def test_orbax_resume_through_cli(h5, tmp_path):
+    from pmhc_tpu.cli.train_cli import main
+
+    model = str(tmp_path / "m.pth")
+    orbax = str(tmp_path / "orbax")
+    common = [h5, "1", model, "-T", "6", "--batch-size", "2", "--orbax-dir", orbax]
+    main(common)
+    steps1 = sorted(os.listdir(orbax))
+    assert steps1, "no orbax checkpoints written"
+
+    # second run restores (log line + global_step advances => new step dirs)
+    main(common)
+    steps2 = sorted(os.listdir(orbax))
+    assert steps2[-1] != steps1[-1] or len(steps2) >= len(steps1)
+
+
+def test_loader_sharded_device_put(h5):
+    import jax
+    from pmhc_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    ds = PmhcDataset(h5)
+    loader = PrefetchLoader(
+        ds, batch_size=8, sharding=batch_sharding(mesh), device_put=True
+    )
+    batch = next(iter(loader))
+    assert batch["frames"].sharding.spec == batch_sharding(mesh).spec
+    # 4 rows over 8 devices along 'data': per-shard shapes come from XLA;
+    # just assert values survive the round trip
+    np.testing.assert_array_equal(
+        np.asarray(batch["mask"]).sum(axis=-1), [9] * 8
+    )
+
+
+def test_loader_drop_last(h5):
+    ds = PmhcDataset(h5)
+    loader = PrefetchLoader(ds, batch_size=3, drop_last=True, device_put=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert all(b["mask"].shape[0] == 3 for b in batches)
+    assert len(loader) == 2

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Reverse-diffusion sampling benchmark: XLA vs Pallas EGNN backends.
+
+Reports samples/sec for the full T-step scan-compiled sampler on the
+default device (the reference runs 1000 sequential host-dispatched model
+forwards, SURVEY.md §3.2). Secondary benchmark to bench.py's train metric
+(BASELINE.md "Reverse-diffusion samples/sec").
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("-T", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--backends", default="xla,pallas")
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pmhc_tpu.data import synthetic_batch
+    from pmhc_tpu.diffusion import DiffusionConfig, gen_noise, sample
+    from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+    from pmhc_tpu.train.trainer import prepare_batch
+
+    dc = DiffusionConfig(noise_step_count=args.T)
+    batch = prepare_batch(synthetic_batch(batch_size=args.batch_size, seed=0))
+    noise = gen_noise(jax.random.key(1), batch["frames"].shape, dc)
+    batch["frames"] = noise["frames"]
+    batch["torsions"] = noise["torsions"]
+
+    results = {}
+    for backend in args.backends.split(","):
+        mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
+        params = init_score_network(jax.random.key(0), mc)
+        run = jax.jit(lambda p, b, k: sample(p, b, k, dc, mc))
+
+        import numpy as np
+
+        # device_get as the barrier: block_until_ready returns early on
+        # the axon platform (see bench.py note)
+        t0 = time.perf_counter()
+        out = run(params, batch, jax.random.key(2))
+        np.asarray(out["frames"].quats)
+        compile_time = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = run(params, batch, jax.random.key(3 + i))
+            np.asarray(out["frames"].quats)
+        dt = (time.perf_counter() - t0) / args.iters
+        results[backend] = {
+            "seconds_per_batch": round(dt, 4),
+            "samples_per_sec": round(args.batch_size / dt, 2),
+            "compile_seconds": round(compile_time, 1),
+        }
+        print(json.dumps({"backend": backend, **results[backend]}), flush=True)
+
+    if len(results) == 2:
+        a, b = results["xla"], results["pallas"]
+        print(json.dumps({
+            "pallas_speedup_vs_xla": round(
+                a["seconds_per_batch"] / b["seconds_per_batch"], 2
+            )
+        }))
+
+
+if __name__ == "__main__":
+    main()
