@@ -10,7 +10,7 @@ atom14_gt_exists, cross_residues_mask).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ sampler scans over a table instead of re-deriving scalars per step.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np

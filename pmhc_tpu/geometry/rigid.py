@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from pmhc_tpu.geometry.quat import (
     quat_conjugate,
-    quat_invert,
     quat_multiply,
     quat_rotate,
     quat_to_rot,

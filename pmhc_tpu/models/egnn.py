@@ -37,7 +37,7 @@ Reference quirks preserved deliberately (SURVEY.md §3.5):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ jnp.dot to bf16, which breaks quaternion-loss tolerances (SURVEY.md §7
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

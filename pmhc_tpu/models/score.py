@@ -25,7 +25,7 @@ import numpy as np
 
 from pmhc_tpu.geometry import RigidArray
 from pmhc_tpu.models import nn
-from pmhc_tpu.models.egnn import TRANSITION, egnn_forward, init_egnn_layer
+from pmhc_tpu.models.egnn import egnn_forward, init_egnn_layer
 
 
 @dataclass(frozen=True)

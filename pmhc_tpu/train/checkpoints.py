@@ -18,10 +18,9 @@ writes/reads the torch ``.pth`` format via
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 
 
 class CheckpointManager:

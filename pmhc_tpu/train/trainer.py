@@ -23,8 +23,7 @@ loop in ``optimize.py:67-82``, re-architected for TPU:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from pmhc_tpu.diffusion.schedule import DiffusionConfig, ScheduleTables
 from pmhc_tpu.geometry import RigidArray
 from pmhc_tpu.models import ScoreNetworkConfig, score_network_forward
 from pmhc_tpu.models.nn import DEFAULT_PRECISION
-from pmhc_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from pmhc_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,6 @@ def test_orbax_resume_through_cli(h5, tmp_path):
 
 
 def test_loader_sharded_device_put(h5):
-    import jax
     from pmhc_tpu.parallel import batch_sharding, make_mesh
 
     mesh = make_mesh()

@@ -27,7 +27,6 @@ from pmhc_tpu.geometry import (  # noqa: E402
     partial_sin_cos,
     quat_invert,
     quat_multiply,
-    quat_rotate,
     quat_to_rot,
     rot_to_quat,
     shoemake_quat,
