@@ -19,8 +19,9 @@ import sys
 import time
 
 BATCH_SIZE = 64
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 10
+STEPS_PER_DISPATCH = 10
 BASELINE_ITERS = 3
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
@@ -41,22 +42,25 @@ def bench_ours() -> float:
     import numpy as np
 
     trainer = Trainer(ScoreNetworkConfig(), DiffusionConfig(), TrainConfig(seed=0))
-    batch = synthetic_batch(batch_size=BATCH_SIZE, seed=0)
+    batches = [synthetic_batch(batch_size=BATCH_SIZE, seed=s) for s in range(STEPS_PER_DISPATCH)]
 
     # NOTE: the timing barrier is a device_get (np.asarray), NOT
     # block_until_ready — the latter returns early under the axon TPU
     # platform (measured: sampler "time" was flat in T with block, linear
     # with device_get). Steps are data-dependent (params chain), so one
     # final fetch bounds the whole pipeline.
+    # train_batches scans STEPS_PER_DISPATCH optimizer steps per device
+    # dispatch — bit-identical math to sequential steps (see
+    # tests/unit/test_train_scan.py), amortizing host->device latency.
     for _ in range(WARMUP):
-        sums = trainer.train_batch(batch)
+        sums = trainer.train_batches(batches)
     np.asarray(sums["total loss"])
     start = time.perf_counter()
     for _ in range(ITERS):
-        sums = trainer.train_batch(batch)
+        sums = trainer.train_batches(batches)
     np.asarray(sums["total loss"])
     elapsed = time.perf_counter() - start
-    return ITERS / elapsed
+    return ITERS * STEPS_PER_DISPATCH / elapsed
 
 
 def bench_reference() -> float:

@@ -33,6 +33,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default=None,
                    help="override the default <stem>-sampled output directory")
+    p.add_argument("--backend", default="xla", choices=("xla", "pallas"),
+                   help="EGNN layer implementation: XLA block-matmuls or "
+                        "the fused Pallas TPU kernel")
     return p
 
 
@@ -54,7 +57,7 @@ def main(argv=None) -> None:
     from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
     from pmhc_tpu.train.trainer import prepare_batch
 
-    model_config = ScoreNetworkConfig(noise_step_count=args.T)
+    model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=args.backend)
     diffusion_config = DiffusionConfig(noise_step_count=args.T)
     tables = ScheduleTables(diffusion_config)
 

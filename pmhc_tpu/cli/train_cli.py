@@ -43,6 +43,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "
                         "(deviates from the reference quirk)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="scan this many optimizer steps inside one device "
+                        "dispatch (amortizes host->TPU latency; identical "
+                        "math to sequential steps)")
     return p
 
 
@@ -121,15 +125,25 @@ def main(argv=None) -> None:
         _log.debug("saved %s", args.output_model)
 
     metrics_path = args.output_model.replace(".pth", ".csv")
+    K = max(1, args.steps_per_dispatch)
     for epoch_index in range(args.epoch_count):
         _log.debug("starting epoch %d", epoch_index)
         metrics = MetricsRecord()
+        pending = []
         for i, batch in enumerate(loader):
-            trainer.train_batch(batch, metrics)
+            if K > 1 and batch["mask"].shape[0] == args.batch_size:
+                pending.append(batch)
+                if len(pending) == K:
+                    trainer.train_batches(pending, metrics)
+                    pending = []
+            else:
+                trainer.train_batch(batch, metrics)
             if i > 0 and i % 100 == 0:
                 if metrics.has_nan():  # reference aborts on NaN (optimizer.py:217)
                     raise RuntimeError("NaN loss")
                 save_model()
+        for batch in pending:  # leftover batches (< K) run one at a time
+            trainer.train_batch(batch, metrics)
         if metrics.has_nan():
             raise RuntimeError("NaN loss")
         save_model()

@@ -136,11 +136,12 @@ def score_network_forward(
         def layer(p, *args):
             return egnn_forward(p, *args, precision)
 
-    edge_pre1 = relpos_edge_pre(params["gnn1"], config.max_len)
-    frames1, torsions1, inner = layer(
-        params["gnn1"], frames, torsions, h, edge_pre1, mask,
-        pocket_h, pocket_frames, pocket_mask,
-    )
+    with jax.named_scope("egnn_layer_1"):
+        edge_pre1 = relpos_edge_pre(params["gnn1"], config.max_len)
+        frames1, torsions1, inner = layer(
+            params["gnn1"], frames, torsions, h, edge_pre1, mask,
+            pocket_h, pocket_frames, pocket_mask,
+        )
 
     inner = jax.nn.relu(inner)
     # pocket features zero-padded up to the inner width (model.py:411-412)
@@ -148,10 +149,11 @@ def score_network_forward(
         pocket_h, ((0, 0), (0, 0), (0, config.inner_size - pocket_h.shape[-1]))
     )
 
-    edge_pre2 = relpos_edge_pre(params["gnn2"], config.max_len)
-    frames2, torsions2, _ = layer(
-        params["gnn2"], frames1, torsions1, inner, edge_pre2, mask,
-        pocket_inner, pocket_frames, pocket_mask,
-    )
+    with jax.named_scope("egnn_layer_2"):
+        edge_pre2 = relpos_edge_pre(params["gnn2"], config.max_len)
+        frames2, torsions2, _ = layer(
+            params["gnn2"], frames1, torsions1, inner, edge_pre2, mask,
+            pocket_inner, pocket_frames, pocket_mask,
+        )
 
     return {"frames": frames2, "torsions": torsions2}

@@ -35,7 +35,7 @@ from pmhc_tpu.diffusion.schedule import DiffusionConfig, ScheduleTables
 from pmhc_tpu.geometry import RigidArray
 from pmhc_tpu.models import ScoreNetworkConfig, score_network_forward
 from pmhc_tpu.models.nn import DEFAULT_PRECISION
-from pmhc_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from pmhc_tpu.parallel.mesh import replicated_sharding
 
 
 @dataclass(frozen=True)
@@ -69,19 +69,14 @@ def prepare_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def make_train_step(
+def _build_step_fn(
     model_config: ScoreNetworkConfig,
     diffusion_config: DiffusionConfig,
     optimizer: optax.GradientTransformation,
-    mesh=None,
     precision=DEFAULT_PRECISION,
 ):
-    """Build the jitted train step.
-
-    Returns ``step(params, opt_state, batch, key) ->
-    (params, opt_state, metric_sums)`` where ``metric_sums`` are per-batch
-    SUMS of the five loss components (device scalars).
-    """
+    """The pure (unjitted) train step: (params, opt_state, batch, key) ->
+    (params, opt_state, key, metric_sums)."""
     tables = ScheduleTables(diffusion_config)
     T = diffusion_config.noise_step_count
 
@@ -119,31 +114,94 @@ def make_train_step(
         metric_sums = {k: jnp.sum(v) for k, v in losses.items()}
         return new_params, new_opt_state, key, metric_sums
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0, 1, 3))
+    return step_fn
+
+
+def _shard_jit(fn, mesh, batch_is_stacked=False):
+    """jit ``fn(params, opt_state, batch, key)`` with GSPMD shardings:
+    params/opt_state/key replicated, batch sharded on its batch axis over
+    the 'data' mesh axis (axis 1 when batches carry a leading scan axis).
+
+    in_shardings must match the batch pytree structure, which is only
+    known at call time, so the jit is built lazily per structure.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
-
-    def batch_shardings(batch):
-        return jax.tree_util.tree_map(lambda _: data, batch)
-
-    # in_shardings must match the batch pytree structure, which is only
-    # known at call time; wrap to build them lazily and cache the jit.
+    spec = P(None, "data") if batch_is_stacked else P("data")
+    data = NamedSharding(mesh, spec)
     jitted = {}
 
-    def step(params, opt_state, batch, key):
+    def call(params, opt_state, batch, key):
         struct = jax.tree_util.tree_structure(batch)
         if struct not in jitted:
+            batch_sh = jax.tree_util.tree_map(lambda _: data, batch)
             jitted[struct] = jax.jit(
-                step_fn,
-                in_shardings=(repl, repl, batch_shardings(batch), repl),
+                fn,
+                in_shardings=(repl, repl, batch_sh, repl),
                 out_shardings=(repl, repl, repl, repl),
                 donate_argnums=(0, 1, 3),
             )
         return jitted[struct](params, opt_state, batch, key)
 
-    return step
+    return call
+
+
+def make_train_step(
+    model_config: ScoreNetworkConfig,
+    diffusion_config: DiffusionConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    precision=DEFAULT_PRECISION,
+):
+    """Build the jitted train step.
+
+    Returns ``step(params, opt_state, batch, key) ->
+    (params, opt_state, key, metric_sums)`` where ``metric_sums`` are
+    per-batch SUMS of the five loss components (device scalars).
+    """
+    step_fn = _build_step_fn(model_config, diffusion_config, optimizer, precision)
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1, 3))
+    return _shard_jit(step_fn, mesh)
+
+
+def make_train_scan(
+    model_config: ScoreNetworkConfig,
+    diffusion_config: DiffusionConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    precision=DEFAULT_PRECISION,
+):
+    """Multi-step variant: scan the train step over K stacked batches
+    inside ONE compiled program.
+
+    Per-step host dispatch through a remote TPU runtime costs tens of ms
+    (measured: 15 steps/s dispatched vs the device-side step cost);
+    scanning K steps amortizes it to one dispatch per K. Semantics are
+    identical to K sequential ``step`` calls: the RNG key advances
+    per-step exactly as the single-step path does.
+
+    Returns ``steps(params, opt_state, stacked_batches, key) ->
+    (params, opt_state, key, metric_sums[K])`` where ``stacked_batches``
+    has a leading [K] axis on every leaf.
+    """
+    single = _build_step_fn(model_config, diffusion_config, optimizer, precision)
+
+    def scan_fn(params, opt_state, stacked_batches, key):
+        def body(carry, batch):
+            p, o, k = carry
+            p, o, k, sums = single(p, o, batch, k)
+            return (p, o, k), sums
+
+        (params, opt_state, key), sums = jax.lax.scan(
+            body, (params, opt_state, key), stacked_batches
+        )
+        return params, opt_state, key, sums
+
+    if mesh is None:
+        return jax.jit(scan_fn, donate_argnums=(0, 1, 3))
+    return _shard_jit(scan_fn, mesh, batch_is_stacked=True)
 
 
 class Trainer:
@@ -181,6 +239,8 @@ class Trainer:
         self._step = make_train_step(
             model_config, diffusion_config, self.optimizer, mesh, precision
         )
+        self._scan_step = None
+        self._precision = precision
         self.global_step = 0
 
     def train_batch(self, batch: Dict[str, Any], metrics=None):
@@ -193,4 +253,31 @@ class Trainer:
         self.global_step += 1
         if metrics is not None:
             metrics.add_batch(sums, batch_size)
+        return sums
+
+    def train_batches(self, batches, metrics=None):
+        """K optimization steps in ONE device dispatch (lax.scan over the
+        stacked batches) — semantically identical to K train_batch calls;
+        amortizes the per-dispatch latency of remote TPU runtimes."""
+        model_batches = [prepare_batch(b) for b in batches]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *model_batches
+        )
+        if self._scan_step is None:
+            self._scan_step = make_train_scan(
+                self.model_config,
+                self.diffusion_config,
+                self.optimizer,
+                self.mesh,
+                self._precision,
+            )
+        self.params, self.opt_state, self.key, sums = self._scan_step(
+            self.params, self.opt_state, stacked, self.key
+        )
+        self.global_step += len(batches)
+        if metrics is not None:
+            batch_size = model_batches[0]["mask"].shape[0]
+            metrics.add_batch(
+                jax.tree_util.tree_map(jnp.sum, sums), batch_size * len(batches)
+            )
         return sums

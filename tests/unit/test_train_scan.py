@@ -1,0 +1,46 @@
+"""train_batches (scan of K steps, one dispatch) must match K sequential
+train_batch calls exactly (same RNG advance per step)."""
+
+import jax
+import numpy as np
+
+from pmhc_tpu.data import synthetic_batch
+from pmhc_tpu.diffusion import DiffusionConfig
+from pmhc_tpu.models import ScoreNetworkConfig
+from pmhc_tpu.train import Trainer, TrainConfig
+
+MODEL_CONFIG = ScoreNetworkConfig()
+DIFF_CONFIG = DiffusionConfig(noise_step_count=10)
+
+
+def test_train_batches_matches_sequential():
+    batches = [synthetic_batch(batch_size=4, seed=s) for s in range(3)]
+
+    t_seq = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=7))
+    seq_sums = [t_seq.train_batch(b) for b in batches]
+
+    t_scan = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=7))
+    scan_sums = t_scan.train_batches(batches)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_seq.params), jax.tree_util.tree_leaves(t_scan.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    for i, s in enumerate(seq_sums):
+        np.testing.assert_allclose(
+            float(s["total loss"]),
+            float(np.asarray(scan_sums["total loss"])[i]),
+            rtol=1e-5,
+        )
+    assert t_scan.global_step == 3
+
+
+def test_train_batches_on_mesh():
+    from pmhc_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    batches = [synthetic_batch(batch_size=8, seed=s) for s in range(2)]
+    trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=8), mesh=mesh)
+    sums = trainer.train_batches(batches)
+    assert np.isfinite(np.asarray(sums["total loss"])).all()
