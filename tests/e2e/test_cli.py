@@ -44,6 +44,17 @@ def test_train_cli_smoke(data_dir):
     assert len(open(csv_path).read().strip().splitlines()) == 4
 
 
+def test_train_cli_steps_per_dispatch(data_dir, tmp_path):
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_k.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "2", "--steps-per-dispatch", "2",
+    ])
+    assert os.path.isfile(model_path)
+
+
 def test_train_cli_dp_mesh(data_dir, tmp_path):
     from pmhc_tpu.cli.train_cli import main
 
