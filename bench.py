@@ -21,7 +21,13 @@ import time
 BATCH_SIZE = 64
 WARMUP = 2
 ITERS = 10
-STEPS_PER_DISPATCH = 10
+# "step": one jitted optimizer step per dispatch (program already in the
+#         persistent compile cache — safe even when this environment's
+#         remote-compile helper is backed up).
+# "scan": K steps per dispatch via lax.scan (identical math, amortizes
+#         dispatch latency; requires one fresh compile).
+MODE = os.environ.get("PMHC_BENCH_MODE", "step")
+STEPS_PER_DISPATCH = 10 if MODE == "scan" else 1
 BASELINE_ITERS = 3
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
@@ -49,15 +55,19 @@ def bench_ours() -> float:
     # platform (measured: sampler "time" was flat in T with block, linear
     # with device_get). Steps are data-dependent (params chain), so one
     # final fetch bounds the whole pipeline.
-    # train_batches scans STEPS_PER_DISPATCH optimizer steps per device
-    # dispatch — bit-identical math to sequential steps (see
-    # tests/unit/test_train_scan.py), amortizing host->device latency.
+    # scan mode runs STEPS_PER_DISPATCH optimizer steps per device dispatch
+    # — bit-identical math to sequential steps (tests/unit/test_train_scan.py)
+    def run_once():
+        if MODE == "scan":
+            return trainer.train_batches(batches)
+        return trainer.train_batch(batches[0])
+
     for _ in range(WARMUP):
-        sums = trainer.train_batches(batches)
+        sums = run_once()
     np.asarray(sums["total loss"])
     start = time.perf_counter()
     for _ in range(ITERS):
-        sums = trainer.train_batches(batches)
+        sums = run_once()
     np.asarray(sums["total loss"])
     elapsed = time.perf_counter() - start
     return ITERS * STEPS_PER_DISPATCH / elapsed
