@@ -93,3 +93,14 @@ def test_sample_cli_smoke(data_dir):
         [[float(l[30:38]), float(l[38:46]), float(l[46:54])] for l in atom_lines]
     )
     assert np.isfinite(coords).all()
+
+
+def test_train_cli_bf16(data_dir, tmp_path):
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_bf16.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "3", "--bf16",
+    ])
+    assert os.path.isfile(model_path)

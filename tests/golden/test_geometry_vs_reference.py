@@ -175,3 +175,37 @@ def test_from_tensor_4x4_matrix_parity():
     ref_quats = theirs.get_rots().get_quats().numpy()
     dots = np.abs(np.sum(np.asarray(ours.quats) * ref_quats, axis=-1))
     np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+
+
+def test_angle_metrics_parity():
+    from pmhc_tpu.geometry import get_quat_angle, get_sin_cos_angle
+
+    q1 = _rand_unit_quats((64,))
+    q2 = _rand_unit_quats((64,))
+    np.testing.assert_allclose(
+        np.asarray(get_quat_angle(jnp.asarray(q1), jnp.asarray(q2))),
+        ref_angle.get_quat_angle(torch.tensor(q1), torch.tensor(q2)).numpy(),
+        atol=1e-4,
+    )
+    sc1 = RNG.normal(size=(64, 2)).astype(np.float32)
+    sc2 = RNG.normal(size=(64, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(get_sin_cos_angle(jnp.asarray(sc1), jnp.asarray(sc2))),
+        ref_angle.get_sin_cos_angle(torch.tensor(sc1), torch.tensor(sc2)).numpy(),
+        atol=1e-4,
+    )
+
+
+def test_spherical_to_quat_parity():
+    from pmhc_tpu.geometry import spherical_to_quat
+
+    phi = RNG.uniform(0, 2 * np.pi, size=(32,)).astype(np.float32)
+    theta = RNG.uniform(0, np.pi, size=(32,)).astype(np.float32)
+    alpha = RNG.uniform(0, np.pi, size=(32,)).astype(np.float32)
+    ours = np.asarray(
+        spherical_to_quat(jnp.asarray(phi), jnp.asarray(theta), jnp.asarray(alpha))
+    )
+    theirs = ref_angle.spherical_to_quat(
+        torch.tensor(phi), torch.tensor(theta), torch.tensor(alpha)
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
