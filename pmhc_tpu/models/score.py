@@ -126,10 +126,12 @@ def score_network_forward(
     )
 
     if config.backend == "pallas":
-        from pmhc_tpu.ops import egnn_forward_pallas
+        # differentiable: Pallas forward + XLA-remat backward, so the
+        # backend works in training as well as sampling
+        from pmhc_tpu.ops import egnn_forward_pallas_trainable
 
         def layer(p, *args):
-            return egnn_forward_pallas(
+            return egnn_forward_pallas_trainable(
                 p, *args, batch_block=config.pallas_batch_block
             )
     else:

@@ -320,3 +320,52 @@ def egnn_forward_pallas(
         )
     out_tors = jnp.stack((out_sin, out_cos), axis=-1)
     return RigidArray(out_q, out_t), out_tors, out_feat
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: Pallas forward, XLA-autodiff backward.
+#
+# The fused kernel is forward-only (no hand-written transpose). For training,
+# jax.custom_vjp pairs the Pallas forward with a backward that REMATERIALIZES
+# the layer through the XLA implementation and differentiates it — the
+# standard remat trade (one extra forward in the backward pass) with the
+# pattern from the Pallas guide ("Patterns: Custom VJP"). The two forwards
+# agree to float32 tolerance (tests/unit/test_pallas.py), so gradients are
+# consistent.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _trainable(batch_block: int, interpret: bool):
+    from pmhc_tpu.models.egnn import egnn_forward as _xla_forward
+
+    @jax.custom_vjp
+    def fused(params, frames, torsions, feats, edge_pre, mask, pk_feats,
+              pk_frames, pk_mask):
+        return egnn_forward_pallas(
+            params, frames, torsions, feats, edge_pre, mask, pk_feats,
+            pk_frames, pk_mask, batch_block=batch_block, interpret=interpret,
+        )
+
+    def fwd(*args):
+        return fused(*args), args
+
+    def bwd(residuals, cotangents):
+        _, vjp_fn = jax.vjp(_xla_forward, *residuals)
+        return vjp_fn(cotangents)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def egnn_forward_pallas_trainable(
+    params, frames, torsions, feats, edge_pre, mask, pk_feats, pk_frames,
+    pk_mask, batch_block: int = 8, interpret: bool = False,
+):
+    """Differentiable fused layer: Pallas forward, XLA-remat backward."""
+    return _trainable(batch_block, interpret)(
+        params, frames, torsions, feats, edge_pre, mask, pk_feats,
+        pk_frames, pk_mask,
+    )
