@@ -61,7 +61,20 @@ def main(argv=None) -> None:
     diffusion_config = DiffusionConfig(noise_step_count=args.T)
     tables = ScheduleTables(diffusion_config)
 
-    params = import_torch_checkpoint(args.model)
+    if os.path.isdir(args.model):
+        # Orbax checkpoint directory (full training state; params extracted)
+        import optax
+
+        from pmhc_tpu.models import init_score_network
+        from pmhc_tpu.train.checkpoints import CheckpointManager
+
+        params_like = init_score_network(jax.random.key(0), model_config)
+        opt_like = optax.adam(1e-3).init(params_like)
+        mgr = CheckpointManager(args.model)
+        params, _, _, step = mgr.restore(params_like, opt_like)
+        _log.info("restored orbax checkpoint at step %d", step)
+    else:
+        params = import_torch_checkpoint(args.model)
 
     dataset = PmhcDataset(args.test_hdf5)
     loader = PrefetchLoader(

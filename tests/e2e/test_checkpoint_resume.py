@@ -57,3 +57,18 @@ def test_loader_drop_last(h5):
     assert len(batches) == 2
     assert all(b["mask"].shape[0] == 3 for b in batches)
     assert len(loader) == 2
+
+
+def test_sample_cli_from_orbax_dir(h5, tmp_path):
+    from pmhc_tpu.cli.sample_cli import main as sample_main
+    from pmhc_tpu.cli.train_cli import main as train_main
+
+    model = str(tmp_path / "m2.pth")
+    orbax = str(tmp_path / "orbax2")
+    train_main([h5, "1", model, "-T", "6", "--batch-size", "4",
+                "--orbax-dir", orbax])
+    out = str(tmp_path / "sampled")
+    sample_main([orbax, h5, "-T", "6", "--batch-size", "4",
+                 "--output-dir", out])
+    pdbs = os.listdir(out)
+    assert len(pdbs) == 8 and all(p.endswith(".pdb") for p in pdbs)
