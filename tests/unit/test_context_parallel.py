@@ -1,0 +1,107 @@
+"""Context-parallel EGNN: neighbour axis sharded over 8 devices equals the
+dense single-device layer (the SP/CP design of docs/scaling.md, live)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from pmhc_tpu.data import synthetic_batch
+from pmhc_tpu.geometry import RigidArray
+from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+from pmhc_tpu.models.egnn import egnn_forward
+from pmhc_tpu.models.score import relpos_edge_pre
+from pmhc_tpu.parallel.context import egnn_forward_cp
+from pmhc_tpu.train.trainer import prepare_batch
+
+CONFIG = ScoreNetworkConfig()
+
+
+def test_neighbour_sharded_layer_matches_dense():
+    batch = prepare_batch(synthetic_batch(batch_size=4, seed=9))
+    params = init_score_network(jax.random.key(0), CONFIG)["gnn1"]
+    B, N = batch["mask"].shape
+    Pk = batch["pocket_mask"].shape[-1]
+    NP = N + Pk
+
+    h = jnp.concatenate(
+        (batch["features"], jnp.full((B, N, 1), 0.5, jnp.float32)), axis=-1
+    )
+    pocket_h = jnp.concatenate(
+        (batch["pocket_features"], jnp.zeros((B, Pk, 1), jnp.float32)), axis=-1
+    )
+    mask = batch["mask"].astype(jnp.float32)
+    pocket_mask = batch["pocket_mask"].astype(jnp.float32)
+    edge_pre = relpos_edge_pre(params, CONFIG.max_len)
+
+    # dense reference
+    dense_frames, dense_tors, dense_feat = egnn_forward(
+        params, batch["frames"], batch["torsions"], h, edge_pre, mask,
+        pocket_h, batch["pocket_frames"], pocket_mask,
+    )
+
+    # global neighbour-axis tensors (peptide | pocket), then shard over 8
+    h_all = jnp.concatenate((h, pocket_h), axis=-2)  # [B, NP, H]
+    q_all = jnp.concatenate(
+        (batch["frames"].quats, batch["pocket_frames"].quats), axis=-2
+    )
+    t_all = jnp.concatenate(
+        (batch["frames"].trans, batch["pocket_frames"].trans), axis=-2
+    )
+    not_self = 1.0 - jnp.eye(N, dtype=jnp.float32)
+    msg_mask = jnp.concatenate(
+        (
+            mask[:, :, None] * mask[:, None, :] * not_self,
+            mask[:, :, None] * pocket_mask[:, None, :],
+        ),
+        axis=-1,
+    )  # [B, N, NP]
+    edge_full = jnp.pad(edge_pre, ((0, 0), (0, Pk), (0, 0)))  # [N, NP, T]
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("cp",))
+    assert NP % 8 == 0
+
+    @jax.jit
+    def sharded(params, frames, torsions, h, edge_full, msg_mask, h_all, q_all, t_all):
+        fn = shard_map(
+            lambda p, fq, ft, tors, hh, e, mm, ha, qa, ta: egnn_forward_cp(
+                p, RigidArray(fq, ft), tors, hh, e, mm, ha,
+                RigidArray(qa, ta), "cp",
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(),  # params
+                P(), P(),  # peptide quats/trans
+                P(),  # torsions
+                P(),  # h
+                P(None, "cp", None),  # edge_full [N, NP, T]
+                P(None, None, "cp"),  # msg_mask [B, N, NP]
+                P(None, "cp", None),  # h_all [B, NP, H]
+                P(None, "cp", None),  # q_all
+                P(None, "cp", None),  # t_all
+            ),
+            out_specs=(P(), P(), P()),
+        )
+        return fn(
+            params, frames.quats, frames.trans, torsions, h, edge_full,
+            msg_mask, h_all, q_all, t_all,
+        )
+
+    cp_frames, cp_tors, cp_feat = sharded(
+        params, batch["frames"], batch["torsions"], h, edge_full, msg_mask,
+        h_all, q_all, t_all,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(cp_frames.quats), np.asarray(dense_frames.quats), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_frames.trans), np.asarray(dense_frames.trans), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_tors), np.asarray(dense_tors), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_feat), np.asarray(dense_feat), atol=2e-4
+    )
