@@ -26,10 +26,15 @@ class MetricsRecord:
     def __init__(self):
         self._sum_trees = []
         self._size = 0
+        self._key_order = None
 
     def add_batch(self, batch_sums: Dict[str, jnp.ndarray], batch_size: int):
         """Accumulate a train step's per-batch loss sums (device scalars;
         no host sync here)."""
+        if self._key_order is None:
+            # jax.tree_util sorts dict keys; remember insertion order so the
+            # CSV columns match the reference byte for byte
+            self._key_order = list(batch_sums.keys())
         self._sum_trees.append(batch_sums)
         self._size += batch_size
 
@@ -39,7 +44,7 @@ class MetricsRecord:
         # one reduction + one transfer for the whole epoch
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.sum(jnp.stack(xs)), *self._sum_trees)
         host = jax.device_get(stacked)
-        return {k: float(v) for k, v in host.items()}
+        return {k: float(host[k]) for k in self._key_order}
 
     def mean(self) -> Dict[str, float]:
         return {k: v / self._size for k, v in self._totals().items()}
