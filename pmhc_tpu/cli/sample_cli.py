@@ -91,6 +91,17 @@ def main(argv=None) -> None:
     key = jax.random.key(args.seed)
     for batch in loader:
         names = batch.pop("name")
+        # pad a short final batch up to the full batch size (repeat row 0)
+        # so the sampler compiles exactly once; only the real rows are saved
+        n_real = len(names)
+        if n_real < args.batch_size:
+            pad = args.batch_size - n_real
+            batch = {
+                k: jnp.concatenate(
+                    (jnp.asarray(v),) + (jnp.asarray(v[:1]),) * pad, axis=0
+                )
+                for k, v in batch.items()
+            }
         model_batch = prepare_batch(batch)
         model_batch["aatype"] = jnp.asarray(batch["aatype"])
 

@@ -104,3 +104,17 @@ def test_train_cli_bf16(data_dir, tmp_path):
         "-T", "8", "--batch-size", "3", "--bf16",
     ])
     assert os.path.isfile(model_path)
+
+
+def test_sample_cli_pads_short_batch(data_dir, tmp_path):
+    # 2 entries sampled with batch size 4: the CLI pads to a single full
+    # batch (one compile) and writes only the real entries
+    from pmhc_tpu.cli.sample_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    out_dir = str(tmp_path / "sampled_pad")
+    main([
+        model_path, str(data_dir / "test.hdf5"),
+        "-T", "8", "--batch-size", "4", "--output-dir", out_dir,
+    ])
+    assert sorted(os.listdir(out_dir)) == ["SYN0000.pdb", "SYN0001.pdb"]
