@@ -32,6 +32,8 @@ def diffusion_loss(
     residues_mask: jnp.ndarray,
     torsions_mask: jnp.ndarray,
     position_loss_weight: float = 0.1,
+    rotation_loss_weight: float = 1.0,
+    torsion_loss_weight: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     mask = residues_mask.astype(jnp.float32)
     tmask = torsions_mask.astype(jnp.float32)
@@ -57,8 +59,8 @@ def diffusion_loss(
 
     return {
         "total loss": position_loss_weight * positions_loss
-        + rotations_loss
-        + torsions_loss,
+        + rotation_loss_weight * rotations_loss
+        + torsion_loss_weight * torsions_loss,
         "positions loss": positions_loss,
         "rotations loss": rotations_loss,
         "torsions loss": torsions_loss,

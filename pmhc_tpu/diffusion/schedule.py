@@ -34,7 +34,10 @@ class DiffusionConfig:
     schedule: str = "linear"  # "linear" | "pow" (reference's dead pow_schedule)
     schedule_pow: float = 2.0
     position_noise_scale: float = 5.0  # gen_noise trans stddev (optimizer.py:97)
-    position_loss_weight: float = 0.1  # total-loss weight (optimizer.py:74)
+    # total-loss weights (reference hard-codes 0.1/1/1, optimizer.py:74)
+    position_loss_weight: float = 0.1
+    rotation_loss_weight: float = 1.0
+    torsion_loss_weight: float = 1.0
     # reference quirk: one random timestep per BATCH, not per sample
     # (optimizer.py:197, SURVEY.md §3.5.2); set False for the (better)
     # per-sample variant — a documented deviation.

@@ -104,6 +104,8 @@ def _build_step_fn(
                 batch["mask"],
                 batch["torsions_mask"],
                 diffusion_config.position_loss_weight,
+                diffusion_config.rotation_loss_weight,
+                diffusion_config.torsion_loss_weight,
             )
             return jnp.mean(losses["total loss"]), losses
 
