@@ -29,7 +29,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -31,7 +31,6 @@ def main():
 
     import jax.numpy as jnp
     from diffusion.data import MhcpDataset
-    from diffusion.model import Model as RefModel
     from diffusion.optimizer import DiffusionModelOptimizer
     from openfold.utils.rigid_utils import Rigid, Rotation
 
@@ -41,14 +40,8 @@ def main():
         ScheduleTables,
         add_noise,
         diffusion_loss,
-        remove_noise,
     )
     from pmhc_tpu.geometry import RigidArray, quat_to_rot
-    from pmhc_tpu.models import (
-        ScoreNetworkConfig,
-        import_torch_checkpoint,
-        score_network_forward,
-    )
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
     from tests.golden.test_model_vs_reference import make_batch, run_ours, run_reference
