@@ -36,8 +36,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 # than hanging the driver. Raise via PMHC_BENCH_DEADLINE.
 DEADLINE = int(os.environ.get("PMHC_BENCH_DEADLINE", "2400"))
 # measured 2026-08-16 on this chip (v5e via axon), batch 64, T=1000,
-# device_get barriers, per-step dispatch under chip contention
-LAST_VERIFIED = {"steps_per_sec": 15.103, "vs_baseline": 33.99}
+# device_get barriers, per-step dispatch, idle chip
+LAST_VERIFIED = {"steps_per_sec": 98.612, "vs_baseline": 221.93}
 
 
 def bench_ours() -> float:
