@@ -40,9 +40,9 @@ class ScoreNetworkConfig:
     message_size: int = 64  # M
     pocket_maxlen: int = 80  # P
     # "pallas": run each EGNN layer as the fused VMEM-resident kernel
-    # (pmhc_tpu.ops.egnn_pallas) — forward/inference path only (the
-    # training path stays on XLA, which generates its backward);
-    # "xla": block-matmul jnp implementation.
+    # (pmhc_tpu.ops.egnn_pallas); differentiable via custom VJP with an
+    # XLA-rematerialized backward, so it works in training and sampling.
+    # "xla": block-matmul jnp implementation (the default).
     backend: str = "xla"
     pallas_batch_block: int = 8
 
