@@ -44,3 +44,42 @@ def test_train_batches_on_mesh():
     trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=8), mesh=mesh)
     sums = trainer.train_batches(batches)
     assert np.isfinite(np.asarray(sums["total loss"])).all()
+
+
+def test_training_is_seed_deterministic():
+    import numpy as np
+
+    batches = [synthetic_batch(batch_size=4, seed=s) for s in range(2)]
+    t_a = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=11))
+    t_b = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=11))
+    t_c = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=12))
+    for b in batches:
+        t_a.train_batch(b)
+        t_b.train_batch(b)
+        t_c.train_batch(b)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_a.params), jax.tree_util.tree_leaves(t_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(c)).max())
+        for a, c in zip(
+            jax.tree_util.tree_leaves(t_a.params), jax.tree_util.tree_leaves(t_c.params)
+        )
+    ]
+    assert max(diffs) > 0.0  # different seeds -> different trajectories
+
+
+def test_train_batches_on_mesh_with_scan_matches_single_device():
+    import numpy as np
+
+    from pmhc_tpu.parallel import make_mesh
+
+    batches = [synthetic_batch(batch_size=8, seed=s) for s in range(2)]
+    t_single = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=13))
+    t_mesh = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=13), mesh=make_mesh())
+    s1 = t_single.train_batches(batches)
+    s2 = t_mesh.train_batches(batches)
+    np.testing.assert_allclose(
+        np.asarray(s1["total loss"]), np.asarray(s2["total loss"]), rtol=1e-4
+    )
