@@ -33,9 +33,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default=None,
                    help="override the default <stem>-sampled output directory")
-    p.add_argument("--backend", default="xla", choices=("xla", "pallas"),
-                   help="EGNN layer implementation: XLA block-matmuls or "
-                        "the fused Pallas TPU kernel")
+    p.add_argument("--backend", default="xla", choices=("xla", "pallas", "blockwise"),
+                   help="EGNN layer implementation: XLA block-matmuls, the "
+                        "fused Pallas TPU kernel, or online-softmax "
+                        "neighbour streaming")
     return p
 
 

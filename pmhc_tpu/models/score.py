@@ -39,12 +39,14 @@ class ScoreNetworkConfig:
     inner_size: int = 64  # I: features between the two layers
     message_size: int = 64  # M
     pocket_maxlen: int = 80  # P
-    # "pallas": run each EGNN layer as the fused VMEM-resident kernel
-    # (pmhc_tpu.ops.egnn_pallas); differentiable via custom VJP with an
-    # XLA-rematerialized backward, so it works in training and sampling.
     # "xla": block-matmul jnp implementation (the default).
+    # "pallas": fused VMEM-resident kernel (pmhc_tpu.ops.egnn_pallas);
+    # differentiable via custom VJP with an XLA-remat backward.
+    # "blockwise": online-softmax streaming over neighbour blocks
+    # (pmhc_tpu.models.egnn_blockwise) — O(block) neighbour memory.
     backend: str = "xla"
     pallas_batch_block: int = 8
+    neighbour_block: int = 32
 
     @property
     def relposenc_depth(self) -> int:
@@ -133,6 +135,14 @@ def score_network_forward(
         def layer(p, *args):
             return egnn_forward_pallas_trainable(
                 p, *args, batch_block=config.pallas_batch_block
+            )
+    elif config.backend == "blockwise":
+        from pmhc_tpu.models.egnn_blockwise import egnn_forward_blockwise
+
+        def layer(p, *args):
+            return egnn_forward_blockwise(
+                p, *args, neighbour_block=config.neighbour_block,
+                precision=precision,
             )
     else:
         def layer(p, *args):
