@@ -45,7 +45,9 @@ class ScoreNetworkConfig:
     # "blockwise": online-softmax streaming over neighbour blocks
     # (pmhc_tpu.models.egnn_blockwise) — O(block) neighbour memory.
     backend: str = "xla"
-    pallas_batch_block: int = 8
+    # 4 is the largest block that fits v5e vmem (batch_block=8 needs
+    # 149.6 MiB of 128 MiB); measured on hardware, see docs/status.md
+    pallas_batch_block: int = 4
     neighbour_block: int = 32
 
     @property

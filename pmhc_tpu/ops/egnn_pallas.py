@@ -217,7 +217,7 @@ def egnn_forward_pallas(
     pocket_features: jnp.ndarray,
     pocket_frames: RigidArray,
     pocket_mask: jnp.ndarray,
-    batch_block: int = 8,
+    batch_block: int = 4,
     interpret: bool = False,
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for ``pmhc_tpu.models.egnn.egnn_forward``."""
@@ -299,6 +299,11 @@ def egnn_forward_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        # Mosaic's default scoped-vmem cap is 16 MiB; the fused kernel's
+        # intermediates (every [BN, NP, *] tensor is lane-padded to 128)
+        # measure 34.9 MiB of scoped vmem at batch_block=2 on v5e, so raise
+        # the cap (total vmem is 128 MiB; operands are < 2 MiB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         padder(peptide_features),
         padder(h_all),
@@ -362,7 +367,7 @@ def _trainable(batch_block: int, interpret: bool):
 
 def egnn_forward_pallas_trainable(
     params, frames, torsions, feats, edge_pre, mask, pk_feats, pk_frames,
-    pk_mask, batch_block: int = 8, interpret: bool = False,
+    pk_mask, batch_block: int = 4, interpret: bool = False,
 ):
     """Differentiable fused layer: Pallas forward, XLA-remat backward."""
     return _trainable(batch_block, interpret)(
