@@ -47,6 +47,11 @@ def build_parser() -> ArgumentParser:
                    help="scan this many optimizer steps inside one device "
                         "dispatch (amortizes host->TPU latency; identical "
                         "math to sequential steps)")
+    p.add_argument("--backend", default="xla", choices=("xla", "pallas", "blockwise"),
+                   help="EGNN layer implementation (the pallas kernel trains "
+                        "via its custom VJP: Pallas forward, XLA-remat "
+                        "backward; blockwise streams neighbour blocks with "
+                        "an online softmax)")
     return p
 
 
@@ -72,7 +77,7 @@ def main(argv=None) -> None:
     from pmhc_tpu.parallel import batch_sharding, make_mesh
     from pmhc_tpu.train import MetricsRecord, Trainer, TrainConfig
 
-    model_config = ScoreNetworkConfig(noise_step_count=args.T)
+    model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=args.backend)
     diffusion_config = DiffusionConfig(
         noise_step_count=args.T, t_per_batch=not args.per_sample_t
     )

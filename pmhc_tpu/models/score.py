@@ -134,9 +134,15 @@ def score_network_forward(
         # backend works in training as well as sampling
         from pmhc_tpu.ops import egnn_forward_pallas_trainable
 
+        # Mosaic kernels only compile for TPU; fall back to the pallas
+        # interpreter elsewhere (CPU tests / debugging) so the backend
+        # flag is usable on any platform
+        interpret = jax.default_backend() != "tpu"
+
         def layer(p, *args):
             return egnn_forward_pallas_trainable(
-                p, *args, batch_block=config.pallas_batch_block
+                p, *args, batch_block=config.pallas_batch_block,
+                interpret=interpret,
             )
     elif config.backend == "blockwise":
         from pmhc_tpu.models.egnn_blockwise import egnn_forward_blockwise

@@ -106,6 +106,21 @@ def test_train_cli_bf16(data_dir, tmp_path):
     assert os.path.isfile(model_path)
 
 
+@pytest.mark.parametrize("backend", ["blockwise", "pallas"])
+def test_train_cli_backend(data_dir, tmp_path, backend):
+    # alternative EGNN layer implementations train end-to-end; on CPU the
+    # pallas backend auto-falls-back to the pallas interpreter
+    # (pmhc_tpu/models/score.py) and trains through its custom VJP
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / f"model_{backend}.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "2", "--backend", backend,
+    ])
+    assert os.path.isfile(model_path)
+
+
 def test_sample_cli_pads_short_batch(data_dir, tmp_path):
     # 2 entries sampled with batch size 4: the CLI pads to a single full
     # batch (one compile) and writes only the real entries
