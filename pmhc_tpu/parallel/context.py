@@ -16,9 +16,18 @@ which is exactly the ring-attention/flash decomposition specialized to a
 one-shot all-reduce (the neighbour axis is fully resident across the mesh;
 no ppermute ring is needed until memory forces streaming).
 
-``egnn_forward_cp`` runs INSIDE shard_map: peptide-side inputs are
-replicated, neighbour-side inputs (features, frames, edge term, mask) are
-sharded on their neighbour axis. Output equals
+``egnn_forward_ring`` is the streaming variant for when it does: the big
+neighbour-side tensors stay RESIDENT on their device; the (small) query
+slices travel the ring with ``lax.ppermute`` carrying their online-softmax
+state — running max, denominator, and the three softmax numerators
+(rotation / torsion / translation) plus the plain message sum — rescaled
+flash-style at every hop. After ``axis_size`` hops each query slice has
+visited every neighbour block and is back home; outputs come out sharded
+on the query (peptide) axis. Per-device live memory is O(resident
+neighbour block + one query slice), and every hop's ppermute rides ICI
+concurrently with the next block's compute.
+
+Both variants run INSIDE shard_map and equal the dense layer
 ``pmhc_tpu.models.egnn.egnn_forward`` to float32 tolerance
 (tests/unit/test_context_parallel.py, 8-virtual-device CPU mesh).
 """
@@ -27,6 +36,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -41,6 +51,93 @@ from pmhc_tpu.models import nn
 
 INFINITY = 1e9
 N_TORSIONS = 7
+
+
+def _block_terms(params, q_i, t_i, h_i, flat_torsions, q_j, t_j, h_j,
+                 edge_blk, mask, precision):
+    """Per-(query-slice, neighbour-block) tensors shared by both CP
+    variants: masked attention logits plus the three per-edge value
+    tensors the softmax weights (global rotation deltas, torsion deltas,
+    translation terms) and the raw message block.
+
+    Shapes: q_i/t_i/h_i/flat_torsions are the query slice [B, Nq, *];
+    q_j/t_j/h_j the neighbour block [B, NPs, *]; edge_blk [Nq, NPs, T];
+    mask [B, Nq, NPs]. Returns (logits, message, global_delta, m_delta_a,
+    mr) with a leading [B, Nq, NPs] layout.
+    """
+    H = h_i.shape[-1]
+    M = params["translation"]["lin1"]["w"].shape[0]
+
+    mp = params["message"]
+    a_i = nn.linear_block(mp["lin1"], h_i, 0, H, precision)
+    a_j = nn.linear_block(mp["lin1"], h_j, H, H, precision)
+    pre = a_i[:, :, None, :] + a_j[:, None, :, :] + edge_blk[None] + mp["lin1"]["b"]
+    message = nn.mlp_hidden(mp, pre, precision=precision)
+
+    d2 = jnp.sum(jnp.square(t_i[:, :, None, :] - t_j[:, None, :, :]), axis=-1)
+    qdot2 = jnp.square(jnp.sum(q_i[:, :, None, :] * q_j[:, None, :, :], axis=-1))
+    ap = params["attention"]
+    att_pre = (
+        nn.linear_block(ap["lin1"], message, 0, M, precision)
+        + (-d2)[..., None] * ap["lin1"]["w"][M]
+        + qdot2[..., None] * ap["lin1"]["w"][M + 1]
+        + ap["lin1"]["b"]
+    )
+    logits = nn.mlp_hidden(ap, att_pre, precision=precision)[..., 0]
+    logits = logits - (1.0 - mask) * INFINITY  # [B, Nq, NPs]
+
+    inv_q_j = quat_invert(q_j)[:, None, :, :]
+    q_j_b = q_j[:, None, :, :]
+    local_quats = quat_multiply(inv_q_j, quat_multiply(q_i[:, :, None, :], q_j_b))
+    rp = params["rotation"]
+    rot_pre = (
+        nn.linear_block(rp["lin1"], message, 0, M, precision)
+        + nn.linear_block(rp["lin1"], local_quats, M, 4, precision)
+        + rp["lin1"]["b"]
+    )
+    local_delta = nn.mlp_hidden(rp, rot_pre, final_sigmoid=True, precision=precision)
+    global_delta = quat_multiply(q_j_b, quat_multiply(local_delta, inv_q_j))
+
+    tp = params["torsion"]
+    tor_pre = (
+        nn.linear_block(tp["lin1"], message, 0, M, precision)
+        + nn.linear_block(tp["lin1"], flat_torsions, M, N_TORSIONS * 2, precision)[:, :, None, :]
+        + tp["lin1"]["b"]
+    )
+    m_delta_a = nn.mlp_hidden(tp, tor_pre, precision=precision)
+
+    lp = params["translation"]
+    m = nn.mlp_apply(lp, message, precision=precision)  # [B, Nq, NPs, 1]
+    mr = m * (t_i[:, :, None, :] - t_j[:, None, :, :])
+
+    return logits, message, global_delta, m_delta_a, mr
+
+
+def _finalize(params, h_i, torsions, q_i, t_i, msg_sum, gd, delta_a, tr,
+              has_nb, precision):
+    """Turn the softmax-weighted sums into the layer outputs (feature MLP,
+    quaternion compose, torsion compose, translation add) — identical for
+    both CP variants and the dense layer."""
+    H = h_i.shape[-1]
+    fp = params["feature"]
+    M = msg_sum.shape[-1]
+    feat_pre = (
+        nn.linear_block(fp["lin1"], h_i, 0, H, precision)
+        + nn.linear_block(fp["lin1"], msg_sum, H, M, precision)
+        + fp["lin1"]["b"]
+    )
+    node_out = nn.mlp_hidden(fp, feat_pre, precision=precision)
+
+    identity_q = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=gd.dtype)
+    gd = jnp.where(has_nb[..., None], gd, identity_q)
+    gd = torch_normalize(gd)
+    upd_q = quat_multiply(gd, q_i)
+
+    delta_t = jnp.stack((jnp.sin(delta_a), jnp.cos(delta_a)), axis=-1)
+    upd_torsions = multiply_sin_cos(delta_t, torsions)
+
+    upd_x = t_i + tr
+    return RigidArray(torch_normalize(upd_q), upd_x), upd_torsions, node_out
 
 
 def egnn_forward_cp(
@@ -59,33 +156,18 @@ def egnn_forward_cp(
     ``axis_name``. Semantics identical to ``egnn_forward`` on the
     unsharded inputs."""
     B, N = peptide_features.shape[:2]
-    H = peptide_features.shape[-1]
-    M = params["translation"]["lin1"]["w"].shape[0]
 
     q_i, t_i = peptide_frames.quats, peptide_frames.trans
-    q_j, t_j = neighbour_frames.quats, neighbour_frames.trans
     mask = message_mask_shard.astype(jnp.float32)
+    flat_torsions = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
 
-    # --- local message block [B, N, NPs, M] --------------------------------
-    mp = params["message"]
-    a_i = nn.linear_block(mp["lin1"], peptide_features, 0, H, precision)
-    a_j = nn.linear_block(mp["lin1"], neighbour_features, H, H, precision)
-    pre = a_i[:, :, None, :] + a_j[:, None, :, :] + edge_pre_shard[None] + mp["lin1"]["b"]
-    message = nn.mlp_hidden(mp, pre, precision=precision)
-
-    # --- attention logits (local), then 2-pass distributed softmax --------
-    d2 = jnp.sum(jnp.square(t_i[:, :, None, :] - t_j[:, None, :, :]), axis=-1)
-    qdot2 = jnp.square(jnp.sum(q_i[:, :, None, :] * q_j[:, None, :, :], axis=-1))
-    ap = params["attention"]
-    att_pre = (
-        nn.linear_block(ap["lin1"], message, 0, M, precision)
-        + (-d2)[..., None] * ap["lin1"]["w"][M]
-        + qdot2[..., None] * ap["lin1"]["w"][M + 1]
-        + ap["lin1"]["b"]
+    logits, message, global_delta, m_delta_a, mr = _block_terms(
+        params, q_i, t_i, peptide_features, flat_torsions,
+        neighbour_frames.quats, neighbour_frames.trans, neighbour_features,
+        edge_pre_shard, mask, precision,
     )
-    logits = nn.mlp_hidden(ap, att_pre, precision=precision)[..., 0]
-    logits = logits - (1.0 - mask) * INFINITY  # [B, N, NPs]
 
+    # 2-pass distributed softmax over the sharded neighbour axis
     g_max = lax.pmax(jnp.max(logits, axis=-1), axis_name)  # [B, N]
     expw = jnp.exp(logits - g_max[..., None])  # [B, N, NPs]
     denom = lax.psum(jnp.sum(expw, axis=-1), axis_name)  # [B, N]
@@ -96,52 +178,112 @@ def egnn_forward_cp(
         local = jnp.sum(expw[..., None] * values, axis=-2)
         return lax.psum(local, axis_name) / denom[..., None]
 
-    # --- feature update: message summed over ALL neighbours (masked incl.)
-    fp = params["feature"]
+    # message summed over ALL neighbours, masked included (reference quirk)
     msg_sum = lax.psum(jnp.sum(message, axis=-2), axis_name)
-    feat_pre = (
-        nn.linear_block(fp["lin1"], peptide_features, 0, H, precision)
-        + nn.linear_block(fp["lin1"], msg_sum, H, M, precision)
-        + fp["lin1"]["b"]
-    )
-    node_out = nn.mlp_hidden(fp, feat_pre, precision=precision)
-
-    # --- rotation update ----------------------------------------------------
-    inv_q_j = quat_invert(q_j)[:, None, :, :]
-    q_j_b = q_j[:, None, :, :]
-    local_quats = quat_multiply(inv_q_j, quat_multiply(q_i[:, :, None, :], q_j_b))
-    rp = params["rotation"]
-    rot_pre = (
-        nn.linear_block(rp["lin1"], message, 0, M, precision)
-        + nn.linear_block(rp["lin1"], local_quats, M, 4, precision)
-        + rp["lin1"]["b"]
-    )
-    local_delta = nn.mlp_hidden(rp, rot_pre, final_sigmoid=True, precision=precision)
-    global_delta = quat_multiply(q_j_b, quat_multiply(local_delta, inv_q_j))
-    gd = wsum(global_delta)  # [B, N, 4]
     has_nb = lax.psum(jnp.sum(mask, axis=-1), axis_name) > 0.0
-    identity_q = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=gd.dtype)
-    gd = jnp.where(has_nb[..., None], gd, identity_q)
-    gd = torch_normalize(gd)
-    upd_q = quat_multiply(gd, q_i)
 
-    # --- torsion update -----------------------------------------------------
-    flat_torsions = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
-    tp = params["torsion"]
-    tor_pre = (
-        nn.linear_block(tp["lin1"], message, 0, M, precision)
-        + nn.linear_block(tp["lin1"], flat_torsions, M, N_TORSIONS * 2, precision)[:, :, None, :]
-        + tp["lin1"]["b"]
+    return _finalize(
+        params, peptide_features, peptide_torsions, q_i, t_i, msg_sum,
+        wsum(global_delta), wsum(m_delta_a), wsum(mr), has_nb, precision,
     )
-    m_delta_a = nn.mlp_hidden(tp, tor_pre, precision=precision)
-    delta_a = wsum(m_delta_a)  # [B, N, 7]
-    delta_t = jnp.stack((jnp.sin(delta_a), jnp.cos(delta_a)), axis=-1)
-    upd_torsions = multiply_sin_cos(delta_t, peptide_torsions)
 
-    # --- translation update -------------------------------------------------
-    lp = params["translation"]
-    m = nn.mlp_apply(lp, message, precision=precision)  # [B, N, NPs, 1]
-    r = t_i[:, :, None, :] - t_j[:, None, :, :]
-    upd_x = t_i + wsum(m * r)
 
-    return RigidArray(torch_normalize(upd_q), upd_x), upd_torsions, node_out
+def egnn_forward_ring(
+    params: nn.Params,
+    peptide_frames_shard: RigidArray,  # [B, Ns] query slice (sharded on N)
+    peptide_torsions_shard: jnp.ndarray,  # [B, Ns, 7, 2] (sharded on N)
+    peptide_features_shard: jnp.ndarray,  # [B, Ns, H] (sharded on N)
+    edge_pre_shard: jnp.ndarray,  # [N, NPs, T] (full N, resident NP cols)
+    message_mask_shard: jnp.ndarray,  # [B, N, NPs] (full N, resident NP cols)
+    neighbour_features: jnp.ndarray,  # [B, NPs, H] resident
+    neighbour_frames: RigidArray,  # [B, NPs] resident
+    axis_name: str,
+    precision=nn.DEFAULT_PRECISION,
+) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
+    """Ring context parallelism: the neighbour block never moves; the
+    query slice hops the ring with its online-softmax state.
+
+    At hop s, device d processes the query slice that ORIGINATED at device
+    (d - s) mod n against its resident neighbour block, folds the block
+    into the running (max, denominator, numerators) with the flash-style
+    rescale, and ppermutes the slice + state to device d+1. After n hops
+    every slice has seen every block and sits back on its home device, so
+    outputs are sharded on the query axis. Memory: one [B, Ns, NPs, M]
+    message block live per hop, never the [B, N, NP, M] dense tensor.
+    """
+    B, Ns = peptide_features_shard.shape[:2]
+    n = lax.axis_size(axis_name)  # static
+    me = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    q0, t0 = peptide_frames_shard.quats, peptide_frames_shard.trans
+    tor0 = peptide_torsions_shard.reshape(B, Ns, N_TORSIONS * 2)
+    M = params["translation"]["lin1"]["w"].shape[0]
+    mask_full = message_mask_shard.astype(jnp.float32)
+
+    q_j, t_j = neighbour_frames.quats, neighbour_frames.trans
+
+    # the constant accumulator inits are device-invariant, but the loop
+    # carry is axis-varying; pcast marks them varying up front
+    accum0 = jax.tree_util.tree_map(
+        lambda x: lax.pcast(x, axis_name, to="varying"),
+        {
+            "m": jnp.full((B, Ns), -INFINITY, jnp.float32),
+            "d": jnp.zeros((B, Ns), jnp.float32),
+            "gd": jnp.zeros((B, Ns, 4), jnp.float32),
+            "ta": jnp.zeros((B, Ns, N_TORSIONS), jnp.float32),
+            "tr": jnp.zeros((B, Ns, 3), jnp.float32),
+            "msg": jnp.zeros((B, Ns, M), jnp.float32),
+            "cnt": jnp.zeros((B, Ns), jnp.float32),
+        },
+    )
+    state = {
+        # the travelling query slice (returns home after n hops)
+        "q": q0, "t": t0, "h": peptide_features_shard, "tor": tor0,
+        **accum0,
+    }
+
+    def hop(s, state):
+        # global row offset of the visiting slice: it originated at device
+        # (me - s) mod n, so its rows are that device's N-shard
+        origin = jnp.mod(me - s, n)
+        e_blk = lax.dynamic_slice_in_dim(edge_pre_shard, origin * Ns, Ns, axis=0)
+        mask = lax.dynamic_slice_in_dim(mask_full, origin * Ns, Ns, axis=1)
+
+        logits, message, global_delta, m_delta_a, mr = _block_terms(
+            params, state["q"], state["t"], state["h"], state["tor"],
+            q_j, t_j, neighbour_features, e_blk, mask, precision,
+        )
+
+        # flash-style online rescale
+        new_m = jnp.maximum(state["m"], jnp.max(logits, axis=-1))
+        r = jnp.exp(state["m"] - new_m)  # [B, Ns]
+        lexp = jnp.exp(logits - new_m[..., None])  # [B, Ns, NPs]
+
+        def fold(acc, values):
+            return acc * r[..., None] + jnp.sum(lexp[..., None] * values, axis=-2)
+
+        state = dict(
+            state,
+            m=new_m,
+            d=state["d"] * r + jnp.sum(lexp, axis=-1),
+            gd=fold(state["gd"], global_delta),
+            ta=fold(state["ta"], m_delta_a),
+            tr=fold(state["tr"], mr),
+            msg=state["msg"] + jnp.sum(message, axis=-2),  # plain sum: no softmax
+            cnt=state["cnt"] + jnp.sum(mask, axis=-1),
+        )
+        return jax.tree_util.tree_map(
+            lambda x: lax.ppermute(x, axis_name, perm), state
+        )
+
+    state = lax.fori_loop(0, n, hop, state)
+
+    inv_d = 1.0 / state["d"][..., None]
+    return _finalize(
+        params, state["h"],
+        state["tor"].reshape(B, Ns, N_TORSIONS, 2),
+        state["q"], state["t"], state["msg"],
+        state["gd"] * inv_d, state["ta"] * inv_d,
+        state["tr"] * inv_d, state["cnt"] > 0.0, precision,
+    )

@@ -12,7 +12,7 @@ from pmhc_tpu.geometry import RigidArray
 from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
 from pmhc_tpu.models.egnn import egnn_forward
 from pmhc_tpu.models.score import relpos_edge_pre
-from pmhc_tpu.parallel.context import egnn_forward_cp
+from pmhc_tpu.parallel.context import egnn_forward_cp, egnn_forward_ring
 from pmhc_tpu.train.trainer import prepare_batch
 
 CONFIG = ScoreNetworkConfig()
@@ -104,4 +104,93 @@ def test_neighbour_sharded_layer_matches_dense():
     )
     np.testing.assert_allclose(
         np.asarray(cp_feat), np.asarray(dense_feat), atol=2e-4
+    )
+
+
+def test_ring_sharded_layer_matches_dense():
+    """Ring CP: queries sharded on N and hopping the ring with their
+    online-softmax state; neighbour blocks resident, sharded on NP."""
+    batch = prepare_batch(synthetic_batch(batch_size=4, seed=9))
+    params = init_score_network(jax.random.key(0), CONFIG)["gnn1"]
+    B, N = batch["mask"].shape
+    Pk = batch["pocket_mask"].shape[-1]
+    NP = N + Pk
+
+    h = jnp.concatenate(
+        (batch["features"], jnp.full((B, N, 1), 0.5, jnp.float32)), axis=-1
+    )
+    pocket_h = jnp.concatenate(
+        (batch["pocket_features"], jnp.zeros((B, Pk, 1), jnp.float32)), axis=-1
+    )
+    mask = batch["mask"].astype(jnp.float32)
+    pocket_mask = batch["pocket_mask"].astype(jnp.float32)
+    edge_pre = relpos_edge_pre(params, CONFIG.max_len)
+
+    dense_frames, dense_tors, dense_feat = egnn_forward(
+        params, batch["frames"], batch["torsions"], h, edge_pre, mask,
+        pocket_h, batch["pocket_frames"], pocket_mask,
+    )
+
+    h_all = jnp.concatenate((h, pocket_h), axis=-2)
+    q_all = jnp.concatenate(
+        (batch["frames"].quats, batch["pocket_frames"].quats), axis=-2
+    )
+    t_all = jnp.concatenate(
+        (batch["frames"].trans, batch["pocket_frames"].trans), axis=-2
+    )
+    not_self = 1.0 - jnp.eye(N, dtype=jnp.float32)
+    msg_mask = jnp.concatenate(
+        (
+            mask[:, :, None] * mask[:, None, :] * not_self,
+            mask[:, :, None] * pocket_mask[:, None, :],
+        ),
+        axis=-1,
+    )
+    edge_full = jnp.pad(edge_pre, ((0, 0), (0, Pk), (0, 0)))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("cp",))
+    assert N % 8 == 0 and NP % 8 == 0
+
+    @jax.jit
+    def sharded(params, frames, torsions, h, edge_full, msg_mask, h_all, q_all, t_all):
+        fn = shard_map(
+            lambda p, fq, ft, tors, hh, e, mm, ha, qa, ta: egnn_forward_ring(
+                p, RigidArray(fq, ft), tors, hh, e, mm, ha,
+                RigidArray(qa, ta), "cp",
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(),  # params
+                P(None, "cp"), P(None, "cp"),  # peptide quats/trans: N sharded
+                P(None, "cp"),  # torsions [B, N, 7, 2]
+                P(None, "cp"),  # h [B, N, H]
+                P(None, "cp", None),  # edge_full [N, NP, T]: NP resident
+                P(None, None, "cp"),  # msg_mask [B, N, NP]: NP resident
+                P(None, "cp", None),  # h_all [B, NP, H]
+                P(None, "cp", None),  # q_all
+                P(None, "cp", None),  # t_all
+            ),
+            out_specs=(P(None, "cp"), P(None, "cp"), P(None, "cp")),
+        )
+        return fn(
+            params, frames.quats, frames.trans, torsions, h, edge_full,
+            msg_mask, h_all, q_all, t_all,
+        )
+
+    ring_frames, ring_tors, ring_feat = sharded(
+        params, batch["frames"], batch["torsions"], h, edge_full, msg_mask,
+        h_all, q_all, t_all,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ring_frames.quats), np.asarray(dense_frames.quats), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_frames.trans), np.asarray(dense_frames.trans), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_tors), np.asarray(dense_tors), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_feat), np.asarray(dense_feat), atol=2e-4
     )
