@@ -5,6 +5,7 @@ from pmhc_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch_spec,
+    tp_param_shardings,
 )
 from pmhc_tpu.parallel.distributed import initialize_multihost, loader_shard_args
 
@@ -13,6 +14,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch_spec",
+    "tp_param_shardings",
     "initialize_multihost",
     "loader_shard_args",
 ]

@@ -55,3 +55,39 @@ def shard_batch_spec(batch: dict, mesh: Mesh) -> dict:
     its leading (batch) dimension."""
     spec = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda _: spec, batch)
+
+
+def tp_param_shardings(mesh: Mesh, params) -> dict:
+    """Tensor-parallel NamedSharding pytree for a score-network params
+    tree (docs/scaling.md "Tensor parallelism"): every MLP becomes a
+    Megatron-style column-parallel / row-parallel pair on the 'model'
+    mesh axis —
+
+      lin1.w [in, TRANSITION]: P(None, 'model')   (column parallel)
+      lin1.b [TRANSITION]:     P('model')
+      lin2.w [TRANSITION, out]: P('model', None)  (row parallel)
+      lin2.b [out]:            replicated
+
+    so the hidden (transition) dim never materializes unsharded and XLA
+    inserts exactly one psum per MLP at the lin2 contraction. Pure
+    annotations — the model code is unchanged.
+
+    The rule matches on path suffixes ('lin1'/'lin2' + rank), so it also
+    shards any params-MIRRORING tree — in particular optax optimizer
+    states, whose mu/nu subtrees embed the params paths; non-MLP leaves
+    (e.g. Adam's step count) fall through to replicated.
+    """
+    col = NamedSharding(mesh, P(None, "model"))
+    colb = NamedSharding(mesh, P("model"))
+    row = NamedSharding(mesh, P("model", None))
+    repl = replicated_sharding(mesh)
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if "lin1" in keys:
+            return col if leaf.ndim == 2 else colb
+        if "lin2" in keys:
+            return row if leaf.ndim == 2 else repl
+        return repl
+
+    return jax.tree_util.tree_map_with_path(rule, params)

@@ -119,10 +119,14 @@ def _build_step_fn(
     return step_fn
 
 
-def _shard_jit(fn, mesh, batch_is_stacked=False):
+def _shard_jit(fn, mesh, batch_is_stacked=False, tensor_parallel=False):
     """jit ``fn(params, opt_state, batch, key)`` with GSPMD shardings:
-    params/opt_state/key replicated, batch sharded on its batch axis over
-    the 'data' mesh axis (axis 1 when batches carry a leading scan axis).
+    batch sharded on its batch axis over the 'data' mesh axis (axis 1
+    when batches carry a leading scan axis); params/opt_state replicated
+    — or, with ``tensor_parallel``, INHERITED from the arguments (the
+    Trainer commits them to the Megatron column/row layout of
+    ``tp_param_shardings`` up front, and ``None`` in_shardings keep
+    whatever layout the buffers carry, donation included).
 
     in_shardings must match the batch pytree structure, which is only
     known at call time, so the jit is built lazily per structure.
@@ -130,6 +134,7 @@ def _shard_jit(fn, mesh, batch_is_stacked=False):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = replicated_sharding(mesh)
+    state_in = None if tensor_parallel else repl
     spec = P(None, "data") if batch_is_stacked else P("data")
     data = NamedSharding(mesh, spec)
     jitted = {}
@@ -140,8 +145,8 @@ def _shard_jit(fn, mesh, batch_is_stacked=False):
             batch_sh = jax.tree_util.tree_map(lambda _: data, batch)
             jitted[struct] = jax.jit(
                 fn,
-                in_shardings=(repl, repl, batch_sh, repl),
-                out_shardings=(repl, repl, repl, repl),
+                in_shardings=(state_in, state_in, batch_sh, repl),
+                out_shardings=(state_in, state_in, repl, repl),
                 donate_argnums=(0, 1, 3),
             )
         return jitted[struct](params, opt_state, batch, key)
@@ -155,6 +160,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     precision=DEFAULT_PRECISION,
+    tensor_parallel=False,
 ):
     """Build the jitted train step.
 
@@ -165,7 +171,7 @@ def make_train_step(
     step_fn = _build_step_fn(model_config, diffusion_config, optimizer, precision)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0, 1, 3))
-    return _shard_jit(step_fn, mesh)
+    return _shard_jit(step_fn, mesh, tensor_parallel=tensor_parallel)
 
 
 def make_train_scan(
@@ -174,6 +180,7 @@ def make_train_scan(
     optimizer: optax.GradientTransformation,
     mesh=None,
     precision=DEFAULT_PRECISION,
+    tensor_parallel=False,
 ):
     """Multi-step variant: scan the train step over K stacked batches
     inside ONE compiled program.
@@ -203,7 +210,8 @@ def make_train_scan(
 
     if mesh is None:
         return jax.jit(scan_fn, donate_argnums=(0, 1, 3))
-    return _shard_jit(scan_fn, mesh, batch_is_stacked=True)
+    return _shard_jit(scan_fn, mesh, batch_is_stacked=True,
+                      tensor_parallel=tensor_parallel)
 
 
 class Trainer:
@@ -219,11 +227,13 @@ class Trainer:
         mesh=None,
         params=None,
         precision=DEFAULT_PRECISION,
+        tensor_parallel=False,
     ):
         self.model_config = model_config
         self.diffusion_config = diffusion_config
         self.train_config = train_config
         self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
 
         key = jax.random.key(train_config.seed)
         self.key, init_key = jax.random.split(key)
@@ -233,13 +243,31 @@ class Trainer:
             params = init_score_network(init_key, model_config)
         self.optimizer = optax.adam(train_config.learning_rate)
         self.params = params
-        self.opt_state = self.optimizer.init(params)
-        if mesh is not None:
+        if mesh is not None and tensor_parallel:
+            # commit params to the Megatron column/row layout on the
+            # 'model' axis; the Adam moments mirror the params tree, so
+            # the same path-suffix rule shards them identically (count
+            # and other non-MLP leaves fall through to replicated)
+            from pmhc_tpu.parallel.mesh import tp_param_shardings
+
+            self.params = jax.device_put(
+                self.params, tp_param_shardings(mesh, self.params)
+            )
+            opt_state = self.optimizer.init(self.params)
+            self.opt_state = jax.device_put(
+                opt_state, tp_param_shardings(mesh, opt_state)
+            )
+        elif mesh is not None:
             repl = replicated_sharding(mesh)
             self.params = jax.device_put(self.params, repl)
-            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.opt_state = jax.device_put(
+                self.optimizer.init(self.params), repl
+            )
+        else:
+            self.opt_state = self.optimizer.init(self.params)
         self._step = make_train_step(
-            model_config, diffusion_config, self.optimizer, mesh, precision
+            model_config, diffusion_config, self.optimizer, mesh, precision,
+            tensor_parallel,
         )
         self._scan_step = None
         self._precision = precision
@@ -272,6 +300,7 @@ class Trainer:
                 self.optimizer,
                 self.mesh,
                 self._precision,
+                self.tensor_parallel,
             )
         self.params, self.opt_state, self.key, sums = self._scan_step(
             self.params, self.opt_state, stacked, self.key
