@@ -35,6 +35,10 @@ def build_parser() -> ArgumentParser:
     # TPU-native extensions
     p.add_argument("--mesh-data", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="devices on the model (tensor-parallel) axis: "
+                        "shards every MLP hidden dim in the Megatron "
+                        "column/row layout (docs/scaling.md)")
     p.add_argument("--orbax-dir", default=None,
                    help="directory for full-state Orbax checkpoints")
     p.add_argument("--bf16", action="store_true",
@@ -85,7 +89,13 @@ def main(argv=None) -> None:
         learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed
     )
 
-    mesh = make_mesh(n_data=args.mesh_data) if args.mesh_data else None
+    # --mesh-model without --mesh-data: the data axis auto-sizes to
+    # (devices // mesh_model) inside make_mesh
+    mesh = (
+        make_mesh(n_data=args.mesh_data or None, n_model=args.mesh_model)
+        if args.mesh_data or args.mesh_model > 1
+        else None
+    )
 
     params = None
     if os.path.isfile(args.output_model):
@@ -99,6 +109,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         params=params,
         precision=None if args.bf16 else DEFAULT_PRECISION,
+        tensor_parallel=args.mesh_model > 1,
     )
 
     ckpt_mgr = None

@@ -66,6 +66,18 @@ def test_train_cli_dp_mesh(data_dir, tmp_path):
     assert os.path.isfile(model_path)
 
 
+def test_train_cli_tp_mesh(data_dir, tmp_path):
+    # DP x TP: batch sharded 2-way, every MLP hidden dim sharded 4-way
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_tp.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "6", "--mesh-data", "2", "--mesh-model", "4",
+    ])
+    assert os.path.isfile(model_path)
+
+
 def test_sample_cli_smoke(data_dir):
     from pmhc_tpu.cli.sample_cli import main
 
