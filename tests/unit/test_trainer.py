@@ -171,6 +171,40 @@ def test_checkpoint_roundtrip(tmp_path, batch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_under_tp(tmp_path, batch):
+    """Orbax save from a TP-sharded trainer restores into a fresh
+    TP-sharded trainer with values intact, shardings preserved (the
+    restore target carries them), and training continues."""
+    from pmhc_tpu.train.checkpoints import CheckpointManager
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    t1 = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=5), mesh=mesh,
+                 tensor_parallel=True)
+    t1.train_batch(batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt_tp"))
+    mgr.save(1, t1.params, t1.opt_state, t1.key)
+    mgr.wait()
+
+    t2 = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=99), mesh=mesh,
+                 tensor_parallel=True)
+    t2.params, t2.opt_state, t2.key, step = mgr.restore(t2.params, t2.opt_state)
+    assert step == 1
+    w = t2.params["gnn1"]["message"]["lin1"]["w"]
+    assert "model" in tuple(w.sharding.spec), w.sharding.spec
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the restored state is trainable and tracks the original trainer
+    s1 = t1.train_batch(batch)
+    s2 = t2.train_batch(batch)
+    np.testing.assert_allclose(
+        float(s1["total loss"]), float(s2["total loss"]), rtol=1e-5
+    )
+
+
 def test_torch_checkpoint_roundtrip(tmp_path):
     torch = pytest.importorskip("torch")
     from pmhc_tpu.models.import_torch import export_torch_checkpoint, import_torch_checkpoint
