@@ -14,6 +14,7 @@ from tests._reference import install
 
 install()
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from diffusion.optimizer import DiffusionModelOptimizer  # noqa: E402
 from openfold.utils.rigid_utils import Rigid, Rotation  # noqa: E402
@@ -158,3 +159,111 @@ def test_schedule_tables_match_reference_scalars():
         np.testing.assert_allclose(float(tables.beta[t]), beta, rtol=1e-6)
         np.testing.assert_allclose(float(tables.alpha[t]), alpha, rtol=1e-6)
         np.testing.assert_allclose(float(tables.sigma[t]), sigma, rtol=1e-6)
+
+
+def test_full_sampler_chain_parity(monkeypatch):
+    """End-to-end reverse-diffusion chain step vs the reference: model
+    forward (shipped weights) + remove_noise with IDENTICAL injected
+    noise through both implementations (reference loop
+    ``optimizer.py:226-252`` vs our lax.scan), composed as the sampler
+    composes them.
+
+    Only ONE chain step can be compared per-coordinate: the reference's
+    remove_noise composes ROTATION MATRICES (``optimizer.py:169-171``
+    via compose_r), so its next forward re-derives quaternions through
+    the eigh path (rigid_utils.py:168-204) whose SIGN is arbitrary —
+    measured: 28/48 residues come back sign-flipped relative to our
+    composition-native quats after one step — and the EGNN's rotation
+    MLP is sign-sensitive, so from step 2 the two trajectories are
+    different functions of the same inputs by the reference's own
+    construction (docs/parity.md). The second assertion pins that
+    measured fact so a behavior change surfaces here."""
+    from diffusion.model import Model as RefModel
+
+    from pmhc_tpu.diffusion import sample
+    from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
+    from tests.golden.test_model_vs_reference import CHECKPOINT, make_batch
+
+    T_TEST = 1  # one composable step; see docstring for why not more
+    data = make_batch()
+    B, N = data["mask"].shape
+
+    # identical per-step stochastic draws, index 0 used at t=T
+    noises = [_state((B, N)) for _ in range(T_TEST)]
+
+    # ---- reference: Python loop, monkeypatched gen_noise pops in order
+    ref_model = RefModel(16, 22, T_TEST)
+    ref_model.load_state_dict(torch.load(CHECKPOINT, map_location="cpu"))
+    ref_model.eval()
+    dmo = DiffusionModelOptimizer(T_TEST, ref_model, lr=0.0)
+    queue = [_to_ref(n) for n in noises]
+    monkeypatch.setattr(
+        DiffusionModelOptimizer,
+        "gen_noise",
+        staticmethod(lambda shape, device: queue.pop(0)),
+    )
+    zt = {
+        "frames": _to_ref(data | {"quats": data["quats"], "trans": data["trans"]})["frames"],
+        "torsions": torch.tensor(data["torsions"]),
+        "features": torch.tensor(data["features"]),
+        "mask": torch.tensor(data["mask"]),
+        "pocket_frames": Rigid(
+            Rotation(quats=torch.tensor(data["pocket_quats"]), normalize_quats=False),
+            torch.tensor(data["pocket_trans"]),
+        ),
+        "pocket_mask": torch.tensor(data["pocket_mask"]),
+        "pocket_features": torch.tensor(data["pocket_features"]),
+    }
+    with torch.no_grad():
+        for t in range(T_TEST, 0, -1):
+            zt = dmo.remove_noise(zt, ref_model(zt, t), t, t - 1)
+    assert not queue, "reference consumed fewer noise draws than expected"
+
+    # ---- ours: one scan with the same noise stacked on a leading [T] axis
+    params = import_torch_checkpoint(CHECKPOINT)
+    our_batch = {
+        "frames": RigidArray(jnp.asarray(data["quats"]), jnp.asarray(data["trans"])),
+        "torsions": jnp.asarray(data["torsions"]),
+        "features": jnp.asarray(data["features"]),
+        "mask": jnp.asarray(data["mask"]),
+        "pocket_frames": RigidArray(
+            jnp.asarray(data["pocket_quats"]), jnp.asarray(data["pocket_trans"])
+        ),
+        "pocket_mask": jnp.asarray(data["pocket_mask"]),
+        "pocket_features": jnp.asarray(data["pocket_features"]),
+    }
+    injected = {
+        "frames": RigidArray(
+            jnp.stack([jnp.asarray(n["quats"]) for n in noises]),
+            jnp.stack([jnp.asarray(n["trans"]) for n in noises]),
+        ),
+        "torsions": jnp.stack([jnp.asarray(n["torsions"]) for n in noises]),
+    }
+    cfg = DiffusionConfig(noise_step_count=T_TEST)
+    ours = sample(
+        params, our_batch, jax.random.key(0), cfg,
+        ScoreNetworkConfig(noise_step_count=T_TEST),
+        injected_noise=injected,
+    )
+
+    d_trans = np.abs(
+        np.asarray(ours["frames"].trans) - zt["frames"].get_trans().numpy()
+    ).max()
+    d_rot = np.abs(
+        np.asarray(quat_to_rot(ours["frames"].quats))
+        - zt["frames"].get_rots().get_rot_mats().numpy()
+    ).max()
+    d_tor = np.abs(np.asarray(ours["torsions"]) - zt["torsions"].numpy()).max()
+    assert d_trans < 2e-4, d_trans
+    assert d_rot < 2e-4, d_rot
+    assert d_tor < 2e-3, d_tor
+
+    # pin the measured reason deeper chains cannot be compared: the
+    # reference's matrix-backed chain re-derives quats via eigh with
+    # arbitrary sign; a substantial fraction comes back flipped relative
+    # to our composition-native quats (same rotations, opposite signs)
+    q_ref = zt["frames"].get_rots().get_quats().numpy()
+    q_ours = np.asarray(ours["frames"].quats)
+    q_ours = q_ours / np.linalg.norm(q_ours, axis=-1, keepdims=True)
+    flips = int((np.sign(np.sum(q_ref * q_ours, axis=-1)) < 0).sum())
+    assert flips > 0, "eigh sign convention changed - deeper chain parity may now be possible"
