@@ -38,6 +38,10 @@ MODE = os.environ.get("PMHC_BENCH_MODE", "scan")
 STEPS_PER_DISPATCH = (
     int(os.environ.get("PMHC_BENCH_K", "50")) if MODE == "scan" else 1
 )
+# "f32" (default): full-precision matmuls, the parity-exact configuration.
+# "bf16": MXU-native matmul precision for the MLPs (the CLI --bf16 mode);
+# measured 377 steps/s vs 215 at f32 (1.76x) with device-resident input.
+PRECISION = os.environ.get("PMHC_BENCH_PRECISION", "f32")
 BASELINE_ITERS = 3
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 # Overall deadline (seconds). This environment's remote-compile helper has
@@ -66,7 +70,13 @@ def bench_ours() -> float:
 
     import numpy as np
 
-    trainer = Trainer(ScoreNetworkConfig(), DiffusionConfig(), TrainConfig(seed=0))
+    from pmhc_tpu.models.nn import DEFAULT_PRECISION
+
+    precision = None if PRECISION == "bf16" else DEFAULT_PRECISION
+    trainer = Trainer(
+        ScoreNetworkConfig(), DiffusionConfig(), TrainConfig(seed=0),
+        precision=precision,
+    )
     batches = [synthetic_batch(batch_size=BATCH_SIZE, seed=s) for s in range(STEPS_PER_DISPATCH)]
 
     # The metric is TRAIN-STEP throughput, so the input batch lives on
@@ -86,7 +96,8 @@ def bench_ours() -> float:
             )
         )
         scan = make_train_scan(
-            trainer.model_config, trainer.diffusion_config, trainer.optimizer
+            trainer.model_config, trainer.diffusion_config, trainer.optimizer,
+            precision=precision,
         )
 
         def run_once():
