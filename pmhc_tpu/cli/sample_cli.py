@@ -37,6 +37,9 @@ def build_parser() -> ArgumentParser:
                    help="EGNN layer implementation: XLA block-matmuls, the "
                         "fused Pallas TPU kernel, or online-softmax "
                         "neighbour streaming")
+    p.add_argument("--bf16", action="store_true",
+                   help="run MLP matmuls in backend-default (bf16 MXU) "
+                        "precision — ~1.7x faster on v5e; geometry stays f32")
     return p
 
 
@@ -87,7 +90,12 @@ def main(argv=None) -> None:
 
     @jax.jit
     def run_sample(batch, key):
-        return sample(params, batch, key, diffusion_config, model_config, tables)
+        from pmhc_tpu.models.nn import DEFAULT_PRECISION
+
+        return sample(
+            params, batch, key, diffusion_config, model_config, tables,
+            precision=None if args.bf16 else DEFAULT_PRECISION,
+        )
 
     key = jax.random.key(args.seed)
     for batch in loader:

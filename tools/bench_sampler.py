@@ -24,6 +24,8 @@ def main():
     ap.add_argument("-T", type=int, default=1000)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backends", default="xla,pallas")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 MXU matmuls for the MLPs (geometry stays f32)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -44,7 +46,10 @@ def main():
     for backend in args.backends.split(","):
         mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
         params = init_score_network(jax.random.key(0), mc)
-        run = jax.jit(lambda p, b, k: sample(p, b, k, dc, mc))
+        from pmhc_tpu.models.nn import DEFAULT_PRECISION
+
+        prec = None if args.bf16 else DEFAULT_PRECISION
+        run = jax.jit(lambda p, b, k: sample(p, b, k, dc, mc, precision=prec))
 
         import numpy as np
 
