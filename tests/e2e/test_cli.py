@@ -133,6 +133,25 @@ def test_train_cli_backend(data_dir, tmp_path, backend):
     assert os.path.isfile(model_path)
 
 
+def test_sample_cli_bf16(data_dir, tmp_path):
+    from pmhc_tpu.cli.sample_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    out_dir = str(tmp_path / "sampled_bf16")
+    main([
+        model_path, str(data_dir / "test.hdf5"),
+        "-T", "8", "--batch-size", "2", "--bf16", "--output-dir", out_dir,
+    ])
+    pdbs = sorted(os.listdir(out_dir))
+    assert pdbs == ["SYN0000.pdb", "SYN0001.pdb"]
+    coords = np.array([
+        [float(l[30:38]), float(l[38:46]), float(l[46:54])]
+        for l in open(os.path.join(out_dir, pdbs[0]))
+        if l.startswith("ATOM")
+    ])
+    assert np.isfinite(coords).all()
+
+
 def test_sample_cli_pads_short_batch(data_dir, tmp_path):
     # 2 entries sampled with batch size 4: the CLI pads to a single full
     # batch (one compile) and writes only the real entries
