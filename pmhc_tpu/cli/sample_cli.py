@@ -33,10 +33,16 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default=None,
                    help="override the default <stem>-sampled output directory")
-    p.add_argument("--backend", default="xla", choices=("xla", "pallas", "blockwise"),
+    p.add_argument("--backend", default="xla",
+                   choices=("xla", "pallas", "blockwise", "cp", "ring"),
                    help="EGNN layer implementation: XLA block-matmuls, the "
-                        "fused Pallas TPU kernel, or online-softmax "
-                        "neighbour streaming")
+                        "fused Pallas TPU kernel, online-softmax neighbour "
+                        "streaming, or context parallelism (cp/ring shard "
+                        "the neighbour axis over --mesh-context devices)")
+    p.add_argument("--mesh-context", type=int, default=1,
+                   help="devices on the context-parallel axis (the rest go "
+                        "to the data axis); selects backend 'cp' unless "
+                        "--backend is already cp/ring")
     p.add_argument("--bf16", action="store_true",
                    help="run MLP matmuls in backend-default (bf16 MXU) "
                         "precision — ~1.7x faster on v5e; geometry stays f32")
@@ -56,12 +62,20 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pmhc_tpu.data import PmhcDataset, PrefetchLoader
-    from pmhc_tpu.diffusion import DiffusionConfig, ScheduleTables, gen_noise, sample
+    from pmhc_tpu.diffusion import (
+        DiffusionConfig, ScheduleTables, gen_noise, sample, sample_sharded,
+    )
     from pmhc_tpu.io import save_pdb
     from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
     from pmhc_tpu.train.trainer import prepare_batch
 
-    model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=args.backend)
+    backend = args.backend
+    context_parallel = args.mesh_context > 1 or backend in ("cp", "ring")
+    if context_parallel and backend not in ("cp", "ring"):
+        backend = "cp"
+        _log.info("--mesh-context %d: selecting backend 'cp'", args.mesh_context)
+
+    model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
     diffusion_config = DiffusionConfig(noise_step_count=args.T)
     tables = ScheduleTables(diffusion_config)
 
@@ -88,14 +102,27 @@ def main(argv=None) -> None:
     output_path = args.output_dir or os.path.splitext(args.test_hdf5)[0] + "-sampled"
     os.makedirs(output_path, exist_ok=True)
 
-    @jax.jit
-    def run_sample(batch, key):
-        from pmhc_tpu.models.nn import DEFAULT_PRECISION
+    from pmhc_tpu.models.nn import DEFAULT_PRECISION
 
-        return sample(
-            params, batch, key, diffusion_config, model_config, tables,
-            precision=None if args.bf16 else DEFAULT_PRECISION,
-        )
+    precision = None if args.bf16 else DEFAULT_PRECISION
+
+    if context_parallel:
+        from pmhc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_context=max(1, args.mesh_context))
+
+        def run_sample(batch, key):
+            return sample_sharded(
+                params, batch, key, diffusion_config, model_config, mesh,
+                tables, precision=precision,
+            )
+    else:
+        @jax.jit
+        def run_sample(batch, key):
+            return sample(
+                params, batch, key, diffusion_config, model_config, tables,
+                precision=precision,
+            )
 
     key = jax.random.key(args.seed)
     for batch in loader:

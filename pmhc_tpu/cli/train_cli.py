@@ -39,6 +39,11 @@ def build_parser() -> ArgumentParser:
                    help="devices on the model (tensor-parallel) axis: "
                         "shards every MLP hidden dim in the Megatron "
                         "column/row layout (docs/scaling.md)")
+    p.add_argument("--mesh-context", type=int, default=1,
+                   help="devices on the context-parallel axis: shards the "
+                        "EGNN neighbour axis via shard_map (backend 'cp' "
+                        "or 'ring'; selects 'cp' if --backend is not one "
+                        "of them). Mutually exclusive with --mesh-model.")
     p.add_argument("--orbax-dir", default=None,
                    help="directory for full-state Orbax checkpoints")
     p.add_argument("--bf16", action="store_true",
@@ -51,11 +56,13 @@ def build_parser() -> ArgumentParser:
                    help="scan this many optimizer steps inside one device "
                         "dispatch (amortizes host->TPU latency; identical "
                         "math to sequential steps)")
-    p.add_argument("--backend", default="xla", choices=("xla", "pallas", "blockwise"),
+    p.add_argument("--backend", default="xla",
+                   choices=("xla", "pallas", "blockwise", "cp", "ring"),
                    help="EGNN layer implementation (the pallas kernel trains "
                         "via its custom VJP: Pallas forward, XLA-remat "
                         "backward; blockwise streams neighbour blocks with "
-                        "an online softmax)")
+                        "an online softmax; cp/ring shard the neighbour "
+                        "axis over --mesh-context devices)")
     return p
 
 
@@ -81,7 +88,15 @@ def main(argv=None) -> None:
     from pmhc_tpu.parallel import batch_sharding, make_mesh
     from pmhc_tpu.train import MetricsRecord, Trainer, TrainConfig
 
-    model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=args.backend)
+    backend = args.backend
+    context_parallel = args.mesh_context > 1 or backend in ("cp", "ring")
+    if context_parallel and backend not in ("cp", "ring"):
+        backend = "cp"
+        _log.info("--mesh-context %d: selecting backend 'cp'", args.mesh_context)
+    if context_parallel and args.mesh_model > 1:
+        raise SystemExit("--mesh-context and --mesh-model are mutually exclusive")
+
+    model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
     diffusion_config = DiffusionConfig(
         noise_step_count=args.T, t_per_batch=not args.per_sample_t
     )
@@ -89,11 +104,12 @@ def main(argv=None) -> None:
         learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed
     )
 
-    # --mesh-model without --mesh-data: the data axis auto-sizes to
-    # (devices // mesh_model) inside make_mesh
+    # --mesh-model / --mesh-context without --mesh-data: the data axis
+    # auto-sizes to (devices // other axes) inside make_mesh
     mesh = (
-        make_mesh(n_data=args.mesh_data or None, n_model=args.mesh_model)
-        if args.mesh_data or args.mesh_model > 1
+        make_mesh(n_data=args.mesh_data or None, n_model=args.mesh_model,
+                  n_context=max(1, args.mesh_context))
+        if args.mesh_data or args.mesh_model > 1 or context_parallel
         else None
     )
 
@@ -110,6 +126,7 @@ def main(argv=None) -> None:
         params=params,
         precision=None if args.bf16 else DEFAULT_PRECISION,
         tensor_parallel=args.mesh_model > 1,
+        context_parallel=context_parallel,
     )
 
     ckpt_mgr = None

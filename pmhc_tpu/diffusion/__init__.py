@@ -10,7 +10,7 @@ with one dispatch per step).
 from pmhc_tpu.diffusion.schedule import DiffusionConfig, ScheduleTables
 from pmhc_tpu.diffusion.noise import gen_noise, add_noise, remove_noise
 from pmhc_tpu.diffusion.loss import diffusion_loss
-from pmhc_tpu.diffusion.sampler import sample
+from pmhc_tpu.diffusion.sampler import sample, sample_sharded
 
 __all__ = [
     "DiffusionConfig",
@@ -20,4 +20,5 @@ __all__ = [
     "remove_noise",
     "diffusion_loss",
     "sample",
+    "sample_sharded",
 ]

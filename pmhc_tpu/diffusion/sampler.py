@@ -36,6 +36,7 @@ def sample(
     tables: ScheduleTables | None = None,
     precision=DEFAULT_PRECISION,
     injected_noise: Dict[str, Any] | None = None,
+    data_axis: str | None = None,
 ) -> Dict[str, Any]:
     """Run the full reverse diffusion from the noised state in ``batch``.
 
@@ -48,11 +49,29 @@ def sample(
     index 0 used at t=T): the parity hook for comparing trajectories
     against the reference with identical stochastic draws (SURVEY.md §7
     "Hard parts": the two frameworks' RNGs cannot be synchronized).
+
+    ``data_axis``: manual-SPMD mode for running inside shard_map (see
+    ``sample_sharded``): per-step noise is drawn at GLOBAL batch shape and
+    sliced to this shard, so the trajectory is bit-identical to the dense
+    sampler on the concatenated batch.
     """
     if tables is None:
         tables = ScheduleTables(config)
     T = config.noise_step_count
-    batch_shape = batch["frames"].shape  # (B, N)
+    batch_shape = batch["frames"].shape  # (B, N) — local shard under data_axis
+
+    if data_axis is None:
+        gshape = batch_shape
+        slice_local = lambda x: x
+    else:
+        from jax import lax
+
+        n_data = lax.axis_size(data_axis)
+        gshape = (batch_shape[0] * n_data,) + batch_shape[1:]
+        start = lax.axis_index(data_axis) * batch_shape[0]
+
+        def slice_local(x):
+            return lax.dynamic_slice_in_dim(x, start, batch_shape[0], axis=0)
 
     static = {k: v for k, v in batch.items() if k not in ("frames", "torsions")}
 
@@ -68,7 +87,9 @@ def sample(
         )
         if rand is None:
             step_key = jax.random.fold_in(key, t)
-            rand = gen_noise(step_key, batch_shape, config)
+            rand = jax.tree_util.tree_map(
+                slice_local, gen_noise(step_key, gshape, config)
+            )
         denoised = remove_noise(
             {"frames": frames, "torsions": torsions},
             predicted,
@@ -94,3 +115,62 @@ def sample(
     result["frames"] = frames
     result["torsions"] = torsions
     return result
+
+
+def make_sample_sharded(
+    config: DiffusionConfig,
+    model_config: ScoreNetworkConfig,
+    mesh,
+    tables: ScheduleTables | None = None,
+    precision=DEFAULT_PRECISION,
+):
+    """Build the context-parallel sampler: the whole T-step scan runs
+    inside one jitted shard_map over ``mesh`` — batch sharded on 'data',
+    the EGNN neighbour axis sharded on 'context' (requires
+    ``model_config.backend in ('cp', 'ring')``). The returned
+    ``run(params, batch, key)`` is bit-compatible with the dense
+    ``sample`` on the same global batch and key; the jit is cached per
+    batch structure."""
+    if model_config.backend not in ("cp", "ring"):
+        raise ValueError(
+            "sharded sampling requires backend 'cp' or 'ring', got "
+            f"{model_config.backend!r}"
+        )
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(params, batch, key):
+        return sample(
+            params, batch, key, config, model_config, tables, precision,
+            data_axis="data",
+        )
+
+    jitted = {}
+
+    def run(params, batch: Dict[str, Any], key: jax.Array):
+        struct = jax.tree_util.tree_structure(batch)
+        if struct not in jitted:
+            batch_specs = jax.tree_util.tree_map(lambda _: P("data"), batch)
+            jitted[struct] = jax.jit(shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), batch_specs, P()), out_specs=batch_specs,
+            ))
+        return jitted[struct](params, batch, key)
+
+    return run
+
+
+def sample_sharded(
+    params,
+    batch: Dict[str, Any],
+    key: jax.Array,
+    config: DiffusionConfig,
+    model_config: ScoreNetworkConfig,
+    mesh,
+    tables: ScheduleTables | None = None,
+    precision=DEFAULT_PRECISION,
+):
+    """One-shot convenience wrapper over ``make_sample_sharded``."""
+    return make_sample_sharded(config, model_config, mesh, tables, precision)(
+        params, batch, key
+    )

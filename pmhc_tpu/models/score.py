@@ -44,7 +44,11 @@ class ScoreNetworkConfig:
     # differentiable via custom VJP with an XLA-remat backward.
     # "blockwise": online-softmax streaming over neighbour blocks
     # (pmhc_tpu.models.egnn_blockwise) — O(block) neighbour memory.
+    # "cp" / "ring": context parallelism — the neighbour axis sharded over
+    # the ``cp_axis`` mesh axis (pmhc_tpu.parallel.context); must run
+    # inside shard_map (Trainer/sampler wire this via context_parallel).
     backend: str = "xla"
+    cp_axis: str = "context"
     # 4 is the largest block that fits v5e vmem (batch_block=8 needs
     # 149.6 MiB of 128 MiB); measured on hardware, see docs/status.md
     pallas_batch_block: int = 4
@@ -143,6 +147,16 @@ def score_network_forward(
             return egnn_forward_pallas_trainable(
                 p, *args, batch_block=config.pallas_batch_block,
                 interpret=interpret,
+            )
+    elif config.backend in ("cp", "ring"):
+        # context parallelism: neighbour axis sharded over config.cp_axis;
+        # only valid inside shard_map (the Trainer/sampler CP paths)
+        from pmhc_tpu.parallel.context import egnn_layer_cp
+
+        def layer(p, *args):
+            return egnn_layer_cp(
+                p, *args, axis_name=config.cp_axis,
+                ring=config.backend == "ring", precision=precision,
             )
     elif config.backend == "blockwise":
         from pmhc_tpu.models.egnn_blockwise import egnn_forward_blockwise

@@ -140,6 +140,97 @@ def _finalize(params, h_i, torsions, q_i, t_i, msg_sum, gd, delta_a, tr,
     return RigidArray(torch_normalize(upd_q), upd_x), upd_torsions, node_out
 
 
+def egnn_layer_cp(
+    params: nn.Params,
+    peptide_frames: RigidArray,  # [B, N] (replicated over the cp axis)
+    peptide_torsions: jnp.ndarray,  # [B, N, 7, 2]
+    peptide_features: jnp.ndarray,  # [B, N, H]
+    edge_pre: jnp.ndarray,  # [N, N, TRANSITION] (peptide-pair edge term)
+    peptide_mask: jnp.ndarray,  # [B, N]
+    pocket_features: jnp.ndarray,  # [B, P, H]
+    pocket_frames: RigidArray,  # [B, P]
+    pocket_mask: jnp.ndarray,  # [B, P]
+    axis_name: str = "context",
+    ring: bool = False,
+    precision=nn.DEFAULT_PRECISION,
+) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in CP twin of the dense layer ``egnn_forward`` — same signature
+    (plus ``axis_name``/``ring``), same outputs, but the neighbour axis is
+    computed SHARDED over ``axis_name``. Must run inside ``shard_map`` (or
+    any context binding ``axis_name``); inputs arrive replicated across the
+    cp axis and each device slices its own neighbour block locally, so no
+    resharding collectives are needed on entry.
+
+    ``ring=False``: two-pass distributed softmax (``egnn_forward_cp``) —
+    queries replicated, one pmax + psums over the axis.
+    ``ring=True``: ``egnn_forward_ring`` — queries sharded over the axis
+    and hopping via ppermute with online-softmax state; outputs are
+    all-gathered back to full N. Requires N % axis_size == 0.
+    """
+    B, N = peptide_mask.shape
+    Pk = pocket_mask.shape[-1]
+    NP = N + Pk
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    if NP % n:
+        raise ValueError(f"neighbour axis {NP} not divisible by cp={n}")
+
+    mask = peptide_mask.astype(jnp.float32)
+    pocket_m = pocket_mask.astype(jnp.float32)
+
+    # dense-global neighbour tensors (identical on every cp member), then
+    # a local dynamic slice — the "fully resident" CP layout
+    h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
+    q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
+    t_all = jnp.concatenate((peptide_frames.trans, pocket_frames.trans), axis=-2)
+    not_self = 1.0 - jnp.eye(N, dtype=jnp.float32)
+    msg_mask = jnp.concatenate(
+        (
+            mask[:, :, None] * mask[:, None, :] * not_self,
+            mask[:, :, None] * pocket_m[:, None, :],
+        ),
+        axis=-1,
+    )  # [B, N, NP]
+    edge_full = jnp.pad(edge_pre, ((0, 0), (0, Pk), (0, 0)))  # [N, NP, T]
+
+    NPs = NP // n
+    start = idx * NPs
+    sl = lambda x, ax: lax.dynamic_slice_in_dim(x, start, NPs, axis=ax)
+    nbr_frames = RigidArray(sl(q_all, 1), sl(t_all, 1))
+    nbr_h = sl(h_all, 1)
+    e_shard = sl(edge_full, 1)
+    m_shard = sl(msg_mask, 2)
+
+    if not ring:
+        return egnn_forward_cp(
+            params, peptide_frames, peptide_torsions, peptide_features,
+            e_shard, m_shard, nbr_h, nbr_frames, axis_name, precision,
+        )
+
+    if N % n:
+        raise ValueError(f"query axis {N} not divisible by cp={n} (ring)")
+    Ns = N // n
+    qstart = idx * Ns
+    qs = lambda x: lax.dynamic_slice_in_dim(x, qstart, Ns, axis=1)
+    frames_s = RigidArray(qs(peptide_frames.quats), qs(peptide_frames.trans))
+    out_f, out_t, out_h = egnn_forward_ring(
+        params, frames_s, qs(peptide_torsions), qs(peptide_features),
+        e_shard, m_shard, nbr_h, nbr_frames, axis_name, precision,
+    )
+
+    def gat(x):
+        # gather-by-psum of disjoint blocks: numerically an all_gather,
+        # but the result is typed INVARIANT over the cp axis (all_gather
+        # output stays vma-varying), so downstream replicated outputs
+        # type-check and the transpose (grads of replicated params)
+        # inserts exactly the right psum
+        full = jnp.zeros(x.shape[:1] + (N,) + x.shape[2:], x.dtype)
+        full = lax.dynamic_update_slice_in_dim(full, x, qstart, axis=1)
+        return lax.psum(full, axis_name)
+
+    return RigidArray(gat(out_f.quats), gat(out_f.trans)), gat(out_t), gat(out_h)
+
+
 def egnn_forward_cp(
     params: nn.Params,
     peptide_frames: RigidArray,  # [B, N] (replicated)
@@ -167,8 +258,13 @@ def egnn_forward_cp(
         edge_pre_shard, mask, precision,
     )
 
-    # 2-pass distributed softmax over the sharded neighbour axis
-    g_max = lax.pmax(jnp.max(logits, axis=-1), axis_name)  # [B, N]
+    # 2-pass distributed softmax over the sharded neighbour axis. The max
+    # subtraction is numerical stabilization only (cancels exactly in the
+    # softmax), so its gradient is zero — stop_gradient both makes that
+    # explicit and sidesteps pmax's missing differentiation rule.
+    g_max = lax.pmax(
+        lax.stop_gradient(jnp.max(logits, axis=-1)), axis_name
+    )  # [B, N]
     expw = jnp.exp(logits - g_max[..., None])  # [B, N, NPs]
     denom = lax.psum(jnp.sum(expw, axis=-1), axis_name)  # [B, N]
 
@@ -224,10 +320,25 @@ def egnn_forward_ring(
     q_j, t_j = neighbour_frames.quats, neighbour_frames.trans
 
     # the constant accumulator inits are device-invariant, but the loop
-    # carry is axis-varying; pcast marks them varying up front
-    accum0 = jax.tree_util.tree_map(
-        lambda x: lax.pcast(x, axis_name, to="varying"),
+    # carry is axis-varying over EVERY mesh axis the inputs vary on (the
+    # cp axis, plus e.g. 'data' when the batch is DP-sharded around this
+    # layer); pcast marks every carry leaf varying on that union up front
+    # so the fori_loop carry types are fixed-point
+    ref_vma = set()
+    for arr in (q0, t0, tor0, peptide_features_shard, q_j, t_j,
+                neighbour_features, mask_full, edge_pre_shard):
+        ref_vma |= set(jax.typeof(arr).vma)
+    ref_vma |= {axis_name}
+
+    def to_vma(x):
+        missing = tuple(a for a in ref_vma if a not in jax.typeof(x).vma)
+        return lax.pcast(x, missing, to="varying") if missing else x
+
+    state = jax.tree_util.tree_map(
+        to_vma,
         {
+            # the travelling query slice (returns home after n hops)
+            "q": q0, "t": t0, "h": peptide_features_shard, "tor": tor0,
             "m": jnp.full((B, Ns), -INFINITY, jnp.float32),
             "d": jnp.zeros((B, Ns), jnp.float32),
             "gd": jnp.zeros((B, Ns, 4), jnp.float32),
@@ -237,11 +348,6 @@ def egnn_forward_ring(
             "cnt": jnp.zeros((B, Ns), jnp.float32),
         },
     )
-    state = {
-        # the travelling query slice (returns home after n hops)
-        "q": q0, "t": t0, "h": peptide_features_shard, "tor": tor0,
-        **accum0,
-    }
 
     def hop(s, state):
         # global row offset of the visiting slice: it originated at device

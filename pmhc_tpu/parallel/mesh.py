@@ -30,15 +30,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_context: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices."""
+    """Build a ('data', 'model', 'context') mesh over the available devices.
+
+    'data' shards the batch (DP), 'model' shards MLP hidden dims (TP,
+    Megatron layout via ``tp_param_shardings``), 'context' shards the EGNN
+    neighbour axis (CP, ``pmhc_tpu.parallel.context``). Unused axes stay
+    size 1 and are free.
+    """
     if devices is None:
         devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    devices = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(devices, ("data", "model"))
+        n_data = len(devices) // (n_model * n_context)
+    n = n_data * n_model * n_context
+    devices = np.asarray(devices[:n]).reshape(n_data, n_model, n_context)
+    return Mesh(devices, ("data", "model", "context"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -24,27 +24,39 @@ import numpy as np
 
 class MetricsRecord:
     def __init__(self):
-        self._sum_trees = []
+        self._pending = []  # batches not yet folded into the running totals
+        self._running = None  # host-side running sums (folded on demand)
         self._size = 0
         self._key_order = None
 
     def add_batch(self, batch_sums: Dict[str, jnp.ndarray], batch_size: int):
         """Accumulate a train step's per-batch loss sums (device scalars;
-        no host sync here)."""
+        no host sync and no extra device dispatch here)."""
         if self._key_order is None:
             # jax.tree_util sorts dict keys; remember insertion order so the
             # CSV columns match the reference byte for byte
             self._key_order = list(batch_sums.keys())
-        self._sum_trees.append(batch_sums)
+        self._pending.append(batch_sums)
         self._size += batch_size
 
     def _totals(self) -> Dict[str, float]:
-        if not self._sum_trees:
-            return {}
-        # one reduction + one transfer for the whole epoch
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.sum(jnp.stack(xs)), *self._sum_trees)
-        host = jax.device_get(stacked)
-        return {k: float(host[k]) for k in self._key_order}
+        """Fold pending batches into the running totals. Work is O(batches
+        since the last call), not O(all batches) — the periodic ``has_nan``
+        guard (every 100 batches) stays O(epoch) overall, not O(epoch²)."""
+        if self._pending:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.sum(jnp.stack(xs)), *self._pending
+            )
+            host = jax.device_get(stacked)
+            fresh = {k: float(host[k]) for k in self._key_order}
+            if self._running is None:
+                self._running = fresh
+            else:
+                self._running = {
+                    k: self._running[k] + fresh[k] for k in self._key_order
+                }
+            self._pending = []
+        return dict(self._running) if self._running is not None else {}
 
     def mean(self) -> Dict[str, float]:
         return {k: v / self._size for k, v in self._totals().items()}

@@ -74,26 +74,53 @@ def _build_step_fn(
     diffusion_config: DiffusionConfig,
     optimizer: optax.GradientTransformation,
     precision=DEFAULT_PRECISION,
+    data_axis=None,
 ):
     """The pure (unjitted) train step: (params, opt_state, batch, key) ->
-    (params, opt_state, key, metric_sums)."""
+    (params, opt_state, key, metric_sums).
+
+    ``data_axis`` switches the step to manual-SPMD mode (for running
+    inside shard_map, e.g. the context-parallel path): the batch arrives
+    as the local 'data' shard, the timestep/noise draws are generated at
+    GLOBAL batch shape and sliced per shard (bit-identical to the
+    single-device step on the concatenated batch), the loss is the global
+    batch mean via psum, and the returned metric sums are global. Grads
+    w.r.t. the replicated params come out globally correct because JAX's
+    vma machinery transposes the unvarying->varying promotions into psums.
+    """
     tables = ScheduleTables(diffusion_config)
     T = diffusion_config.noise_step_count
 
     def step_fn(params, opt_state, batch, key):
+        from jax import lax
+
         frames: RigidArray = batch["frames"]
-        batch_shape = frames.shape  # (B, N)
+        batch_shape = frames.shape  # (B, N) — local shard under data_axis
         # the key is carried device-side and advanced inside the step: no
         # per-step host RNG dispatch (each host->TPU call costs a tunnel
         # round trip under axon)
         key, key_t, key_eps = jax.random.split(key, 3)
 
+        if data_axis is None:
+            gshape = batch_shape
+            slice_local = lambda x: x
+        else:
+            n_data = lax.axis_size(data_axis)
+            b_local = batch_shape[0]
+            gshape = (b_local * n_data,) + batch_shape[1:]
+            start = lax.axis_index(data_axis) * b_local
+
+            def slice_local(x):
+                return lax.dynamic_slice_in_dim(x, start, b_local, axis=0)
+
         if diffusion_config.t_per_batch:
             t = jax.random.randint(key_t, (), 0, T)  # one t per batch (quirk)
         else:
-            t = jax.random.randint(key_t, (batch_shape[0],), 0, T)
+            t = slice_local(jax.random.randint(key_t, (gshape[0],), 0, T))
 
-        epsilon = gen_noise(key_eps, batch_shape, diffusion_config)
+        epsilon = jax.tree_util.tree_map(
+            slice_local, gen_noise(key_eps, gshape, diffusion_config)
+        )
 
         def loss_fn(p):
             zt = add_noise(batch, epsilon, t, tables)
@@ -107,13 +134,20 @@ def _build_step_fn(
                 diffusion_config.rotation_loss_weight,
                 diffusion_config.torsion_loss_weight,
             )
-            return jnp.mean(losses["total loss"]), losses
+            total = jnp.sum(losses["total loss"])
+            if data_axis is not None:
+                total = lax.psum(total, data_axis)
+            return total / gshape[0], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
         metric_sums = {k: jnp.sum(v) for k, v in losses.items()}
+        if data_axis is not None:
+            metric_sums = {
+                k: lax.psum(v, data_axis) for k, v in metric_sums.items()
+            }
         return new_params, new_opt_state, key, metric_sums
 
     return step_fn
@@ -154,6 +188,34 @@ def _shard_jit(fn, mesh, batch_is_stacked=False, tensor_parallel=False):
     return call
 
 
+def _cp_shard_jit(fn, mesh, batch_is_stacked=False):
+    """jit ``fn(params, opt_state, batch, key)`` wrapped in shard_map over
+    the full mesh: batch sharded on 'data', params/opt_state/key
+    replicated. ``fn`` must be a manual-SPMD step (built with
+    ``data_axis='data'``) whose model backend binds the 'context' axis
+    (ScoreNetworkConfig.backend in ('cp', 'ring'))."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, "data") if batch_is_stacked else P("data")
+    jitted = {}
+
+    def call(params, opt_state, batch, key):
+        struct = jax.tree_util.tree_structure(batch)
+        if struct not in jitted:
+            batch_specs = jax.tree_util.tree_map(lambda _: spec, batch)
+            sm = shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(P(), P(), batch_specs, P()),
+                out_specs=(P(), P(), P(), P()),
+            )
+            jitted[struct] = jax.jit(sm, donate_argnums=(0, 1, 3))
+        return jitted[struct](params, opt_state, batch, key)
+
+    return call
+
+
 def make_train_step(
     model_config: ScoreNetworkConfig,
     diffusion_config: DiffusionConfig,
@@ -161,13 +223,34 @@ def make_train_step(
     mesh=None,
     precision=DEFAULT_PRECISION,
     tensor_parallel=False,
+    context_parallel=False,
 ):
     """Build the jitted train step.
 
     Returns ``step(params, opt_state, batch, key) ->
     (params, opt_state, key, metric_sums)`` where ``metric_sums`` are
     per-batch SUMS of the five loss components (device scalars).
+
+    ``context_parallel`` selects the manual shard_map path: the step runs
+    SPMD over the mesh with the batch sharded on 'data' and the EGNN
+    neighbour axis sharded on 'context' (requires
+    ``model_config.backend in ('cp', 'ring')`` and a mesh from
+    ``make_mesh(n_context=...)``). Semantics are bit-compatible with the
+    single-device step on the same global batch.
     """
+    if context_parallel:
+        if mesh is None:
+            raise ValueError("context_parallel requires a mesh")
+        if model_config.backend not in ("cp", "ring"):
+            raise ValueError(
+                "context_parallel requires ScoreNetworkConfig.backend "
+                f"'cp' or 'ring', got {model_config.backend!r}"
+            )
+        step_fn = _build_step_fn(
+            model_config, diffusion_config, optimizer, precision,
+            data_axis="data",
+        )
+        return _cp_shard_jit(step_fn, mesh)
     step_fn = _build_step_fn(model_config, diffusion_config, optimizer, precision)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0, 1, 3))
@@ -181,6 +264,7 @@ def make_train_scan(
     mesh=None,
     precision=DEFAULT_PRECISION,
     tensor_parallel=False,
+    context_parallel=False,
 ):
     """Multi-step variant: scan the train step over K stacked batches
     inside ONE compiled program.
@@ -195,7 +279,10 @@ def make_train_scan(
     (params, opt_state, key, metric_sums[K])`` where ``stacked_batches``
     has a leading [K] axis on every leaf.
     """
-    single = _build_step_fn(model_config, diffusion_config, optimizer, precision)
+    single = _build_step_fn(
+        model_config, diffusion_config, optimizer, precision,
+        data_axis="data" if context_parallel else None,
+    )
 
     def scan_fn(params, opt_state, stacked_batches, key):
         def body(carry, batch):
@@ -208,6 +295,10 @@ def make_train_scan(
         )
         return params, opt_state, key, sums
 
+    if context_parallel:
+        if mesh is None:
+            raise ValueError("context_parallel requires a mesh")
+        return _cp_shard_jit(scan_fn, mesh, batch_is_stacked=True)
     if mesh is None:
         return jax.jit(scan_fn, donate_argnums=(0, 1, 3))
     return _shard_jit(scan_fn, mesh, batch_is_stacked=True,
@@ -228,12 +319,21 @@ class Trainer:
         params=None,
         precision=DEFAULT_PRECISION,
         tensor_parallel=False,
+        context_parallel=False,
     ):
         self.model_config = model_config
         self.diffusion_config = diffusion_config
         self.train_config = train_config
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
+        self.context_parallel = context_parallel
+        if context_parallel and tensor_parallel:
+            raise ValueError(
+                "context_parallel (manual shard_map) and tensor_parallel "
+                "(GSPMD Megatron layout) are separate trainer paths; "
+                "combine DP x TP x CP via the GSPMD sharding-constraint "
+                "backend instead (docs/scaling.md)"
+            )
 
         key = jax.random.key(train_config.seed)
         self.key, init_key = jax.random.split(key)
@@ -267,7 +367,7 @@ class Trainer:
             self.opt_state = self.optimizer.init(self.params)
         self._step = make_train_step(
             model_config, diffusion_config, self.optimizer, mesh, precision,
-            tensor_parallel,
+            tensor_parallel, context_parallel,
         )
         self._scan_step = None
         self._precision = precision
@@ -301,6 +401,7 @@ class Trainer:
                 self.mesh,
                 self._precision,
                 self.tensor_parallel,
+                self.context_parallel,
             )
         self.params, self.opt_state, self.key, sums = self._scan_step(
             self.params, self.opt_state, stacked, self.key

@@ -164,3 +164,39 @@ def test_sample_cli_pads_short_batch(data_dir, tmp_path):
         "-T", "8", "--batch-size", "4", "--output-dir", out_dir,
     ])
     assert sorted(os.listdir(out_dir)) == ["SYN0000.pdb", "SYN0001.pdb"]
+
+
+def test_train_cli_cp_mesh(data_dir, tmp_path):
+    # DP(2) x CP(4): batch sharded 2-way, EGNN neighbour axis sharded
+    # 4-way through the manual shard_map trainer path
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_cp.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "6", "--mesh-data", "2",
+        "--mesh-context", "4",
+    ])
+    assert os.path.isfile(model_path)
+
+
+def test_sample_cli_cp_mesh(data_dir, tmp_path):
+    # context-parallel sampling: the whole reverse-diffusion scan inside
+    # shard_map with the neighbour axis sharded over 4 devices
+    from pmhc_tpu.cli.sample_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    out_dir = str(tmp_path / "sampled_cp")
+    main([
+        model_path, str(data_dir / "test.hdf5"),
+        "-T", "8", "--batch-size", "2", "--mesh-context", "4",
+        "--output-dir", out_dir,
+    ])
+    pdbs = sorted(os.listdir(out_dir))
+    assert pdbs == ["SYN0000.pdb", "SYN0001.pdb"]
+    coords = np.array([
+        [float(l[30:38]), float(l[38:46]), float(l[46:54])]
+        for l in open(os.path.join(out_dir, pdbs[0]))
+        if l.startswith("ATOM")
+    ])
+    assert np.isfinite(coords).all()
