@@ -32,6 +32,12 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--num-workers", "-w", type=int, default=4,
                    help="number of batch loading threads")
     p.add_argument("--lr", type=float, default=0.001, help="learning rate")
+    p.add_argument("--pack", action="store_true",
+                   help="decode the HDF5 once into RAM-packed arrays "
+                        "(parallel across processes) so epochs stream at "
+                        "memory speed — the per-entry h5py decode tops out "
+                        "~140 examples/s, 135x short of the chip "
+                        "(tools/bench_loader.py)")
     # TPU-native extensions
     p.add_argument("--mesh-data", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
@@ -141,7 +147,14 @@ def main(argv=None) -> None:
             trainer.global_step = step
             _log.info("restored orbax checkpoint at step %d", step)
 
-    dataset = PmhcDataset(args.train_hdf5)
+    if args.pack:
+        from pmhc_tpu.data import PackedDataset
+
+        dataset = PackedDataset(args.train_hdf5, num_workers=args.num_workers)
+        _log.info("packed %d entries (%.0f MB RAM)", len(dataset),
+                  dataset.nbytes / 1e6)
+    else:
+        dataset = PmhcDataset(args.train_hdf5)
     loader = PrefetchLoader(
         dataset,
         batch_size=args.batch_size,

@@ -2,10 +2,12 @@
 
 from pmhc_tpu.data.dataset import PmhcDataset, PEPTIDE_MAXLEN, POCKET_MAXLEN
 from pmhc_tpu.data.loader import PrefetchLoader
+from pmhc_tpu.data.packed import PackedDataset
 from pmhc_tpu.data.synthetic import synthetic_batch, write_synthetic_hdf5
 
 __all__ = [
     "PmhcDataset",
+    "PackedDataset",
     "PrefetchLoader",
     "PEPTIDE_MAXLEN",
     "POCKET_MAXLEN",

@@ -106,27 +106,58 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        def upload(batch):
+            if self.device_put and jax is not None:
+                names = batch.pop("name", None)
+                if self.sharding is not None:
+                    batch = jax.device_put(batch, self.sharding)
+                else:
+                    batch = jax.device_put(batch)
+                if names is not None:
+                    batch["name"] = names
+            return batch
+
+        def produce_packed():
+            # PackedDataset fast path: collated batches come out of one
+            # fancy-indexing call; no per-entry decode, no stacking
+            try:
+                for batch_idx in batches:
+                    out_q.put(upload(self.dataset.get_batch(batch_idx)))
+            except Exception as exc:
+                out_q.put(exc)
+            finally:
+                out_q.put(sentinel)
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for batch_idx in batches:
-                        entries = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        batch = collate(entries)
-                        if self.device_put and jax is not None:
-                            names = batch.pop("name", None)
-                            if self.sharding is not None:
-                                batch = jax.device_put(batch, self.sharding)
-                            else:
-                                batch = jax.device_put(batch)
-                            if names is not None:
-                                batch["name"] = names
-                        out_q.put(batch)
+                    # sliding window: entry reads for the next few batches
+                    # are IN FLIGHT while the current batch collates and
+                    # uploads, so HDF5 I/O overlaps the host-side stack +
+                    # device_put instead of serializing behind them
+                    window = self.prefetch + 1
+                    pending = [
+                        [pool.submit(self.dataset.__getitem__, i) for i in b]
+                        for b in batches[:window]
+                    ]
+                    for k, batch_idx in enumerate(batches):
+                        futures = pending[k]
+                        if k + window < len(batches):
+                            pending.append([
+                                pool.submit(self.dataset.__getitem__, i)
+                                for i in batches[k + window]
+                            ])
+                        entries = [f.result() for f in futures]
+                        out_q.put(upload(collate(entries)))
             except Exception as exc:  # surface loader errors to the consumer
                 out_q.put(exc)
             finally:
                 out_q.put(sentinel)
 
-        thread = threading.Thread(target=produce, daemon=True)
+        producer = (
+            produce_packed if hasattr(self.dataset, "get_batch") else produce
+        )
+        thread = threading.Thread(target=producer, daemon=True)
         thread.start()
 
         while True:

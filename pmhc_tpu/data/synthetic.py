@@ -89,8 +89,17 @@ def write_synthetic_hdf5(
             ) * 3.0
             # masks are stored as bool: the reference loader uses
             # cross_residues_mask directly as a numpy boolean index
-            # (``data.py:58``), which rejects float masks
-            prot["atom14_gt_exists"] = rng.uniform(size=(protein_len, 14)) > 0.3
+            # (``data.py:58``), which rejects float masks.
+            # exists must be a SUBSET of each residue type's real atom14
+            # slots: real data never marks an empty atom14 name as
+            # existing, and the reference PDB writer indexes atom_name[0]
+            # unguarded on exists=True slots (``tools/pdb.py:202``)
+            import pmhc_tpu.constants as _rc
+
+            slot_ok = np.asarray(_rc.restype_atom14_mask)[p_aatype] > 0.5
+            prot["atom14_gt_exists"] = (
+                rng.uniform(size=(protein_len, 14)) > 0.3
+            ) & slot_ok
             cross = np.zeros(protein_len, dtype=bool)
             cross[rng.permutation(protein_len)[:pocket_len]] = True
             prot["cross_residues_mask"] = cross

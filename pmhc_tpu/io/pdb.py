@@ -13,8 +13,15 @@ Behavioral twin of the reference writer (``diffusion/tools/pdb.py:34-211``):
   existence mask (``pdb.py:178-204``).
 
 Differences by design:
-- serialization is first-party fixed-width PDB records (BioPython, which
-  the reference drives, is not a dependency);
+- serialization is first-party fixed-width PDB records, byte-compatible
+  with what BioPython's PDBIO (which the reference drives) emits for
+  these structures: sequential atom renumbering in file order, the
+  residue segid (= chain id) in columns 73-76, a TER record per chain
+  carrying (next serial, last resname, chain, last resseq) whose serial
+  is shared with the next chain's first atom (PDBIO quirk), and END.
+  Golden test: tests/golden/test_pdb_golden.py byte-diffs against
+  fixtures produced by the REFERENCE writer itself
+  (tools/gen_pdb_fixture.py);
 - the reference's latent IndexError for peptides of exactly maxlen
   (``pdb.py:145`` reads mask[i+1] before the bounds check — SURVEY.md
   §3.5.8) is fixed: bounds are checked first.
@@ -43,14 +50,19 @@ def _normalize(v: np.ndarray) -> np.ndarray:
 
 
 def _atom_record(serial, name, resname, chain, resseq, pos, element) -> str:
-    # columns per the PDB v3.3 spec; occupancy 1.00 / bfactor 0.00 like the
-    # reference's Atom(..., 0.0, 1.0, ...) through PDBIO
-    name_field = (" " + name).ljust(4)[:4]
+    # columns per PDBIO's _ATOM_FORMAT_STRING; occupancy 1.00 / bfactor
+    # 0.00 like the reference's Atom(..., 0.0, 1.0, ...); segid = chain id
+    # (the reference passes chain.id as Residue segid, ref pdb.py:102,185)
+    name_field = (" " + name).ljust(4)[:4] if len(name) < 4 else name[:4]
     return (
         f"ATOM  {serial:>5} {name_field} {resname:>3} {chain}{resseq:>4}    "
         f"{pos[0]:8.3f}{pos[1]:8.3f}{pos[2]:8.3f}{1.0:6.2f}{0.0:6.2f}"
-        f"          {element:>2}\n"
+        f"      {chain:>4}{element:>2}  \n"
     )
+
+
+def _ter_record(serial, resname, chain, resseq) -> str:
+    return f"TER   {serial:>5}      {resname:>3} {chain}{resseq:>4} ".ljust(80) + "\n"
 
 
 def save_pdb(batch: Dict[str, Any], batch_index: int, path: str) -> None:
@@ -151,26 +163,38 @@ def save_pdb(batch: Dict[str, Any], batch_index: int, path: str) -> None:
                     normal = co - co_proj
                     add_atom(i, "OXT", c + co_proj - normal)
 
-    # emit chain P in residue order
+    # emit chain P in residue order, renumbering atoms sequentially in
+    # file order (PDBIO renumbers; creation order only fixes the
+    # WITHIN-residue ordering, exactly as the reference's res.add calls do)
+    out_serial = 0
+    last = None
     for i in sorted(residue_atoms):
         aa_name = rc.restype_1to3[rc.restypes[int(aatype[i])]]
-        for s, name, pos in residue_atoms[i]:
-            lines.append(_atom_record(s, name, aa_name, "P", i + 1, pos, name[0]))
-    lines.append("TER\n")
+        for _, name, pos in residue_atoms[i]:
+            out_serial += 1
+            lines.append(_atom_record(out_serial, name, aa_name, "P", i + 1, pos, name[0]))
+        last = (aa_name, i + 1)
+    if last is not None:
+        # PDBIO quirk: the TER serial (= last atom + 1) is SHARED with the
+        # next chain's first atom — the counter does not advance for TER
+        lines.append(_ter_record(out_serial + 1, last[0], "P", last[1]))
 
     # chain M: the full protein from stored atom14 (pdb.py:178-204)
     p_aatype = np.asarray(batch["protein_aatype"])[b]
     p_pos = np.asarray(batch["protein_atom14_positions"])[b]
     p_exists = np.asarray(batch["protein_atom14_exists"])[b].astype(bool)
+    last = None
     for ri in range(p_aatype.shape[0]):
         aa_name = rc.restype_1to3[rc.restypes[int(p_aatype[ri])]]
         for ai, atom_name in enumerate(rc.restype_name_to_atom14_names[aa_name]):
             if p_exists[ri, ai] and atom_name.strip():
-                serial += 1
+                out_serial += 1
                 lines.append(
-                    _atom_record(serial, atom_name, aa_name, "M", ri + 1, p_pos[ri, ai], atom_name[0])
+                    _atom_record(out_serial, atom_name, aa_name, "M", ri + 1, p_pos[ri, ai], atom_name[0])
                 )
-    lines.append("TER\n")
+        last = (aa_name, ri + 1)
+    if last is not None:
+        lines.append(_ter_record(out_serial + 1, last[0], "M", last[1]))
     lines.append("END\n")
 
     with open(path, "w") as f:

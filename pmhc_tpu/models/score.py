@@ -53,6 +53,8 @@ class ScoreNetworkConfig:
     # 149.6 MiB of 128 MiB); measured on hardware, see docs/status.md
     pallas_batch_block: int = 4
     neighbour_block: int = 32
+    # lane block for backend="pallas_lane" (bn pairs per grid cell)
+    lane_block: int = 1024
 
     @property
     def relposenc_depth(self) -> int:
@@ -133,7 +135,21 @@ def score_network_forward(
         (pocket_features, jnp.zeros((B, P, 1), dtype=pocket_features.dtype)), axis=-1
     )
 
-    if config.backend == "pallas":
+    if config.backend == "pallas_lane":
+        # round-2 lane-packed fused kernel: (batch, residue) pairs on the
+        # lane axis, neighbour loop with online softmax
+        # (pmhc_tpu/ops/egnn_pallas_lane.py)
+        from pmhc_tpu.ops.egnn_pallas_lane import (
+            egnn_forward_pallas_lane_trainable,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+
+        def layer(p, *args):
+            return egnn_forward_pallas_lane_trainable(
+                p, *args, lane_block=config.lane_block, interpret=interpret,
+            )
+    elif config.backend == "pallas":
         # differentiable: Pallas forward + XLA-remat backward, so the
         # backend works in training as well as sampling
         from pmhc_tpu.ops import egnn_forward_pallas_trainable

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Analytic FLOPs / MFU / roofline accounting for the EGNN pipeline.
+
+Counts exact multiply-add FLOPs for the score-network forward (per layer,
+from the reference dimensions: ``diffusion/model.py:336-421``), the train
+step (fwd + bwd ~ 3x fwd for matmul-dominated graphs), and the T-step
+sampler, then reports achieved TFLOP/s and model FLOP utilization (MFU)
+for the measured throughput numbers in docs/status.md.
+
+Peaks used (TPU v5e, one chip): 197 TFLOP/s bf16 MXU; f32 matmuls run as
+multi-pass bf16 (6 passes at precision=HIGHEST), effective ~49 TFLOP/s;
+HBM ~819 GB/s. MFU is reported against the precision actually used.
+"""
+
+import argparse
+import json
+import sys
+
+BF16_PEAK = 197e12
+F32_PEAK = 49e12  # HIGHEST-precision matmuls: ~4-6 bf16 passes
+HBM_BW = 819e9
+
+
+def layer_flops(B, N=16, P=80, H=23, T=64, M=64, O=64, E=31):
+    """Exact MAC-based FLOPs (2 per MAC) for one EGNN layer forward."""
+    NP = N + P
+    R = B * N * NP
+    f = 0
+    # message: a_i [B,N,H]@[H,T], a_j [B,NP,H]@[H,T], lin2 R@[T,M]
+    f += 2 * B * N * H * T + 2 * B * NP * H * T + 2 * R * T * M
+    f += 3 * R * T  # pre-activation adds (a_i + a_j + edge + bias)
+    # attention: lin1 R@[M,T] + 2 rank-1 terms, lin2 R@[T,1]
+    f += 2 * R * M * T + 4 * R * T + 2 * R * T * 1
+    # feature: [B,N,H+M]@[.,T] + [B,N,T]@[T,O]
+    f += 2 * B * N * (H + M) * T + 2 * B * N * T * O
+    # translation: lin1 R@[M,T], lin2 R@[T,1]
+    f += 2 * R * M * T + 2 * R * T * 1
+    # rotation: lin1 R@[M+4,T], lin2 R@[T,4], 3 quat products (~28 ops ea)
+    f += 2 * R * (M + 4) * T + 2 * R * T * 4 + 3 * 28 * R
+    # torsion: lin1 R@[M,T] + node [B,N,14]@[14,T], lin2 R@[T,7]
+    f += 2 * R * M * T + 2 * B * N * 14 * T + 2 * R * T * 7
+    # softmax + weighted reductions (exp, normalize, 4 weighted sums)
+    f += R * (4 + 4 + 7 + 3 + M)
+    return f
+
+
+def forward_flops(B):
+    """Two layers: H=23 -> O=64, then H=64 -> O=1 (model.py:370-371)."""
+    return layer_flops(B, H=23, O=64) + layer_flops(B, H=64, O=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    B = args.batch
+    fwd = forward_flops(B)
+    train = 3 * fwd  # bwd ~ 2x fwd for matmul-dominated graphs
+    print(json.dumps({
+        "batch": B,
+        "forward_gflops": round(fwd / 1e9, 2),
+        "train_step_gflops": round(train / 1e9, 2),
+        "sampler_T1000_gflops_per_batch": round(fwd * 1000 / 1e9, 1),
+    }))
+
+    # measured numbers from docs/status.md (one v5e chip)
+    measured = [
+        # (name, batch, steps_per_sec, precision, kind)
+        ("train f32 B=64", 64, 218.2, "f32", "train"),
+        ("train bf16 B=64", 64, 377.0, "bf16", "train"),
+        ("train f32 B=1024", 1024, 15400 / 1024, "f32", "train"),
+        ("train bf16 B=1024", 1024, 20700 / 1024, "bf16", "train"),
+        ("sample f32 B=64 (50/s)", 64, 50.0 / 64 * 1000, "f32", "fwd"),
+        ("sample bf16 B=64 (152/s)", 64, 152.0 / 64 * 1000, "bf16", "fwd"),
+        ("sample bf16 B=256 (215/s)", 256, 215.0 / 256 * 1000, "bf16", "fwd"),
+    ]
+    for name, b, per_sec, prec, kind in measured:
+        flops = (3 if kind == "train" else 1) * forward_flops(b)
+        achieved = flops * per_sec
+        peak = F32_PEAK if prec == "f32" else BF16_PEAK
+        print(json.dumps({
+            "config": name,
+            "achieved_tflops": round(achieved / 1e12, 2),
+            "mfu_pct": round(100 * achieved / peak, 2),
+            "peak_tflops": peak / 1e12,
+        }))
+
+    # roofline: arithmetic intensity of the dominant R x 64 x 64 matmuls
+    # if activations stream HBM<->MXU unfused (the XLA path's worst case)
+    ai = (2 * 64 * 64) / ((64 + 64) * 4)
+    ridge_f32 = F32_PEAK / HBM_BW
+    print(json.dumps({
+        "dominant_matmul_arith_intensity_flop_per_byte": round(ai, 1),
+        "v5e_ridge_point_f32": round(ridge_f32, 1),
+        "hbm_bound_if_unfused": ai < ridge_f32,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,15 @@ def main(argv=None):
     # bitwise even at step 0 with identical weights (measured: ~1% mean,
     # ~3% max over 30 steps). See docs/parity.md "Deliberate deviations".
     ap.add_argument("--rtol", type=float, default=0.05)
+    ap.add_argument("--window", type=int, default=0,
+                    help="compare WINDOWED-MEAN curves with this window "
+                         "(long-horizon mode: per-step deviation compounds "
+                         "chaotically through Adam, so convergence parity "
+                         "is about trajectory statistics, not per-step "
+                         "bit-tracking; 0 = per-step max, the short-horizon "
+                         "default)")
+    ap.add_argument("--csv", default=None,
+                    help="write the two loss curves to this CSV")
     args = ap.parse_args(argv)
 
     import jax
@@ -163,6 +172,11 @@ def main(argv=None):
 
     ref_losses = np.asarray(ref_losses)
     our_losses = np.asarray(our_losses)
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write("step,reference,pmhc_tpu\n")
+            for k in range(args.steps):
+                f.write(f"{k},{ref_losses[k]:.6f},{our_losses[k]:.6f}\n")
     rel = np.abs(ref_losses - our_losses) / np.maximum(np.abs(ref_losses), 1e-6)
     report = {
         "steps": args.steps,
@@ -171,8 +185,23 @@ def main(argv=None):
         "max_rel_deviation": float(rel.max()),
         "mean_rel_deviation": float(rel.mean()),
         "tolerance": args.rtol,
-        "pass": bool(rel.max() < args.rtol),
     }
+    if args.window:
+        w = args.window
+        k = args.steps // w
+        ref_w = ref_losses[: k * w].reshape(k, w).mean(1)
+        our_w = our_losses[: k * w].reshape(k, w).mean(1)
+        rel_w = np.abs(ref_w - our_w) / np.maximum(np.abs(ref_w), 1e-6)
+        report.update({
+            "window": w,
+            "windowed_rel_deviation_max": float(rel_w.max()),
+            "windowed_rel_deviation_final": float(rel_w[-1]),
+            "reference_windowed_first_last": [float(ref_w[0]), float(ref_w[-1])],
+            "pmhc_tpu_windowed_first_last": [float(our_w[0]), float(our_w[-1])],
+        })
+        report["pass"] = bool(rel_w.max() < args.rtol)
+    else:
+        report["pass"] = bool(rel.max() < args.rtol)
     print(json.dumps(report, indent=2))
     sys.exit(0 if report["pass"] else 1)
 
