@@ -3,6 +3,7 @@
 from pmhc_tpu.data.dataset import PmhcDataset, PEPTIDE_MAXLEN, POCKET_MAXLEN
 from pmhc_tpu.data.loader import PrefetchLoader
 from pmhc_tpu.data.packed import PackedDataset
+from pmhc_tpu.data.realistic import write_realistic_hdf5
 from pmhc_tpu.data.synthetic import synthetic_batch, write_synthetic_hdf5
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "POCKET_MAXLEN",
     "synthetic_batch",
     "write_synthetic_hdf5",
+    "write_realistic_hdf5",
 ]

@@ -171,7 +171,12 @@ class PmhcDataset:
 
     def get_protein_positions(self, entry_names: List[str]) -> Dict[str, np.ndarray]:
         """Full-protein (not pocket-packed) atom data for PDB output;
-        mirrors ``data.py:121-145``."""
+        mirrors ``data.py:121-145`` — except that variable-length MHC
+        proteins are padded to the batch max with exists=False (the
+        reference's bare ``torch.stack`` crashes on ragged lengths,
+        ``data.py:143``; the exists mask gates every downstream consumer,
+        so padding is behaviorally invisible — deliberate robustness fix,
+        documented like the maxlen IndexError in io/pdb.py)."""
         out = {"protein_aatype": [], "protein_atom14_positions": [], "protein_atom14_exists": []}
         f5 = self._file
         for name in entry_names:
@@ -181,4 +186,14 @@ class PmhcDataset:
                 mhc["atom14_gt_positions"][:].astype(np.float32)
             )
             out["protein_atom14_exists"].append(mhc["atom14_gt_exists"][:].astype(bool))
-        return {k: np.stack(v) for k, v in out.items()}
+        max_len = max(a.shape[0] for a in out["protein_aatype"])
+
+        def pad(a):
+            n = a.shape[0]
+            if n == max_len:
+                return a
+            return np.concatenate(
+                (a, np.zeros((max_len - n,) + a.shape[1:], dtype=a.dtype))
+            )
+
+        return {k: np.stack([pad(a) for a in v]) for k, v in out.items()}

@@ -52,7 +52,16 @@ class PackedDataset:
         self._base = base  # kept for get_protein_positions (PDB output)
 
         if _entries is None:
+            from pmhc_tpu.data import native
+
             n = len(self.entry_names)
+            if native.is_available():
+                # C++ decoder (csrc/hdf5_decoder.cc): bit-exact twin of
+                # get_entry at ~30x the throughput; one call packs the
+                # whole file
+                self._data = native.decode_packed(hdf5_path, self.entry_names)
+                self.nbytes = sum(v.nbytes for v in self._data.values())
+                return
             if num_workers > 1 and n >= 10_000:
                 # process pool: each worker opens its own file handle, so
                 # decode scales past libhdf5's in-process global lock.

@@ -8,24 +8,26 @@ at every configuration (docs/status.md "Measured design decisions").
 
 This kernel flips the layout exactly as that analysis prescribed:
 
-- **(batch, residue) pairs live on LANES.** Every activation is stored
-  transposed, ``[C, BN]`` with bn = b*N + n on the lane axis — fully
-  packed whenever BN is a multiple of 128 (BN = 1024 at the reference
-  batch 64). Per-edge scalars (attention logits, translation weights) are
-  ``[1, BN]`` — 128/128 lanes instead of 1/128.
+- **(residue, batch) pairs live on LANES**, n-major: lane = n * B + b.
+  Every activation is stored transposed ``[C, N*B]`` — fully packed
+  whenever N*B is a multiple of 128 (16384 lanes at the reference batch
+  64). Per-edge scalars (attention logits, translation weights) are
+  ``[1, lanes]`` — 128/128 lanes instead of 1/128.
 - **Features live on SUBLANES** (T = M = 64 -> 8 f32 vregs), and every
-  MLP matmul becomes ``W^T [out, in] @ X [in, BN]`` — the big operand is
-  lane-dense on the MXU.
+  MLP matmul becomes ``W^T [out, in] @ X [in, lanes]`` — the big operand
+  is lane-dense on the MXU.
 - **The neighbour axis is a sequential loop with an online softmax**
-  (flash-style running max / denominator / numerators), so the
-  [BN, NP, M] message tensor never exists even in VMEM: per step only
-  [C, BNB] tiles are live. The grid is over lane blocks of BN — ONE cell
-  at batch 64 (vs 16 serialized cells in round 1).
-- The neighbour-dependent message pre-activation (a_j broadcast over
-  query residues + relative-position edge term + bias) is precomputed by
-  XLA as ``pre_add [NP, T, BN]`` and STREAMED through VMEM — trading
-  sequencing flexibility for one O(R*T) HBM read, which at 800 GB/s is
-  ~30 us/layer at batch 64 (vs the ~millisecond compute it feeds).
+  (flash-style running max / denominator / numerators): the [BN, NP, M]
+  message tensor never exists, even in VMEM — per step only [C, BNB]
+  tiles are live.
+- **Neighbour-side tensors are expanded IN KERNEL, not streamed.** The
+  n-major ordering makes the query-residue expansion a lane TILE: a cell
+  covers k consecutive n values x all B batches, so a_j/q_j/t_j blocks
+  ([*, B], resident — 25 MB at batch 1024) expand with ``pltpu.repeat``
+  and the n-dependent edge term expands with a tiny one-hot matmul
+  ``edge[T, k] @ S[k, k*B]``. Nothing O(R)-sized ever touches HBM (the
+  first version of this kernel streamed a precomputed [NP, T, BN]
+  pre-activation — 402 MB/layer at batch 1024, see git history).
 
 Semantics are identical to ``pmhc_tpu.models.egnn.egnn_forward``
 (behavioral twin of reference ``diffusion/model.py:83-333``), including
@@ -74,148 +76,168 @@ def _qmul_rows(q1, q2):
     )
 
 
-def _kernel(
-    # per-node blocks (lane dim = bn block)
-    h_ref,        # [H, BNB]
-    qi_ref,       # [4, BNB]
-    ti_ref,       # [3, BNB]
-    tors_ref,     # [14, BNB] (sin0 cos0 sin1 cos1 ...)
-    sin_ref,      # [7, BNB]
-    cos_ref,      # [7, BNB]
-    # per-neighbour streamed blocks
-    pre_add_ref,  # [NP, T, BNB] = a_j + edge + b1, expanded over queries
-    qj_ref,       # [NP, 4, BNB]
-    tj_ref,       # [NP, 3, BNB]
-    mask_ref,     # [NP, 1, BNB]
-    # weights (transposed, constant across grid)
-    wmi_ref,      # [T, H]   message W1 rows for h_i
-    wm2_ref, bm2_ref,          # [M, T], [M, 1]
-    wam_ref, wad_ref, waq_ref, ba1_ref,  # [T, M], [T, 1], [T, 1], [T, 1]
-    wa2_ref, ba2_ref,          # [1, T], [1, 1]
-    wfh_ref, wfm_ref, bf1_ref,  # [T, H], [T, M], [T, 1]
-    wf2_ref, bf2_ref,          # [O, T], [O, 1]
-    wl1_ref, bl1_ref, wl2_ref, bl2_ref,  # [T, M], [T, 1], [1, T], [1, 1]
-    wrm_ref, wrq_ref, br1_ref,  # [T, M], [T, 4], [T, 1]
-    wr2_ref, br2_ref,          # [4, T], [4, 1]
-    wtm_ref, wtt_ref, bt1_ref,  # [T, M], [T, 14], [T, 1]
-    wt2_ref, bt2_ref,          # [7, T], [7, 1]
-    # outputs
-    out_q_ref,    # [4, BNB]
-    out_t_ref,    # [3, BNB]
-    out_sin_ref,  # [7, BNB]
-    out_cos_ref,  # [7, BNB]
-    out_feat_ref,  # [O, BNB]
-):
-    NP = pre_add_ref.shape[0]
-    M = wm2_ref.shape[0]
-    BNB = h_ref.shape[-1]
+def _make_kernel(k: int):
+    """Kernel for cells of k consecutive query residues x all batches."""
 
-    h = h_ref[:]
-    q_i = qi_ref[:]
-    t_i = ti_ref[:]
+    def _kernel(
+        # per-node blocks (lane dim = cell's k*Bp lanes, n-major)
+        h_ref,        # [H, BNB]
+        qi_ref,       # [4, BNB]
+        ti_ref,       # [3, BNB]
+        tors_ref,     # [14, BNB] (sin0 cos0 sin1 cos1 ...)
+        sin_ref,      # [7, BNB]
+        cos_ref,      # [7, BNB]
+        # resident neighbour-side tensors (constant index maps)
+        aj_ref,       # [NP, T, Bp]  a_j = h_all @ Wm[H:2H]
+        qj_ref,       # [NP, 4, Bp]
+        tj_ref,       # [NP, 3, Bp]
+        edge_ref,     # [NP, k, T]   this cell's n rows of the edge term
+        mask_ref,     # [NP, 1, BNB] this cell's message-mask rows
+        s_ref,        # [k, BNB]     one-hot n expansion: S[j, n*Bp+b]=(n==j)
+        # weights (transposed, constant across grid)
+        wmi_ref,      # [T, H]   message W1 rows for h_i
+        bm1_ref,      # [T, 1]
+        wm2_ref, bm2_ref,          # [M, T], [M, 1]
+        wam_ref, wad_ref, waq_ref, ba1_ref,  # [T, M], [T, 1], [T, 1], [T, 1]
+        wa2_ref, ba2_ref,          # [1, T], [1, 1]
+        wfh_ref, wfm_ref, bf1_ref,  # [T, H], [T, M], [T, 1]
+        wf2_ref, bf2_ref,          # [O, T], [O, 1]
+        wl1_ref, bl1_ref, wl2_ref, bl2_ref,  # [T, M], [T, 1], [1, T], [1, 1]
+        wrm_ref, wrq_ref, br1_ref,  # [T, M], [T, 4], [T, 1]
+        wr2_ref, br2_ref,          # [4, T], [4, 1]
+        wtm_ref, wtt_ref, bt1_ref,  # [T, M], [T, 14], [T, 1]
+        wt2_ref, bt2_ref,          # [7, T], [7, 1]
+        # outputs
+        out_q_ref,    # [4, BNB]
+        out_t_ref,    # [3, BNB]
+        out_sin_ref,  # [7, BNB]
+        out_cos_ref,  # [7, BNB]
+        out_feat_ref,  # [O, BNB]
+    ):
+        NP = aj_ref.shape[0]
+        M = wm2_ref.shape[0]
+        BNB = h_ref.shape[-1]
 
-    # per-node terms, computed once per cell
-    a_i = _dot(wmi_ref[:], h)                 # [T, BNB] (b1 lives in pre_add)
-    tor_node = _dot(wtt_ref[:], tors_ref[:])  # [T, BNB]
+        h = h_ref[:]
+        q_i = qi_ref[:]
+        t_i = ti_ref[:]
+        s_mat = s_ref[:]
 
-    conj = jnp.concatenate((q_i[0:1], -q_i[1:]), axis=0)  # reused below? (q_i inverse not needed)
+        # per-node terms, computed once per cell
+        a_i = _dot(wmi_ref[:], h) + bm1_ref[:]    # [T, BNB]
+        tor_node = _dot(wtt_ref[:], tors_ref[:])  # [T, BNB]
 
-    def body(np_i, carry):
-        m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
+        def expand(block):
+            """[C, Bp] neighbour block -> [C, BNB]: the same block for
+            every query residue in the cell (lane tile)."""
+            return pltpu.repeat(block, k, axis=1) if k > 1 else block
 
-        pre = a_i + pre_add_ref[np_i]          # [T, BNB]
-        msg = _dot(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
+        def body(np_i, carry):
+            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
 
-        q_j = qj_ref[np_i]                     # [4, BNB]
-        t_j = tj_ref[np_i]                     # [3, BNB]
-        mask = mask_ref[np_i]                  # [1, BNB]
+            # the n-dependent edge term expands with a one-hot matmul:
+            # edge block [k, T] x S [k, BNB], contracting the k rows
+            # (dim0 x dim0 — the MXU-native lhsT orientation)
+            edge_exp = lax.dot_general(
+                edge_ref[np_i], s_mat, (((0,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )  # [T, BNB]
+            pre = a_i + expand(aj_ref[np_i]) + edge_exp
+            msg = _dot(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
 
-        d2 = jnp.sum(jnp.square(t_i - t_j), axis=0, keepdims=True)   # [1, BNB]
-        qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
-        qdot2 = jnp.square(qdot)
+            q_j = expand(qj_ref[np_i])             # [4, BNB]
+            t_j = expand(tj_ref[np_i])             # [3, BNB]
+            mask = mask_ref[np_i]                  # [1, BNB]
 
-        att_pre = (
-            _dot(wam_ref[:], msg)
-            + wad_ref[:] * (-d2)               # [T,1] * [1,BNB]
-            + waq_ref[:] * qdot2
-            + ba1_ref[:]
+            d2 = jnp.sum(jnp.square(t_i - t_j), axis=0, keepdims=True)  # [1, BNB]
+            qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
+            qdot2 = jnp.square(qdot)
+
+            att_pre = (
+                _dot(wam_ref[:], msg)
+                + wad_ref[:] * (-d2)               # [T,1] * [1,BNB]
+                + waq_ref[:] * qdot2
+                + ba1_ref[:]
+            )
+            logits = _dot(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]
+            logits = logits - (1.0 - mask) * INFINITY  # [1, BNB]
+
+            # rotation
+            conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
+            inv_qj = conj_qj / jnp.sum(q_j * q_j, axis=0, keepdims=True)
+            local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
+            rot_pre = _dot(wrm_ref[:], msg) + _dot(wrq_ref[:], local_q) + br1_ref[:]
+            # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)
+            local_delta = jax.nn.sigmoid(
+                _dot(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
+            )  # [4, BNB]
+            gdelta = _qmul_rows(q_j, _qmul_rows(local_delta, inv_qj))
+
+            # torsion
+            tor_pre = _dot(wtm_ref[:], msg) + tor_node + bt1_ref[:]
+            mdelta = _dot(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]  # [7, BNB]
+
+            # translation
+            tr_hid = jnp.maximum(_dot(wl1_ref[:], msg) + bl1_ref[:], 0.0)
+            mtr = _dot(wl2_ref[:], tr_hid) + bl2_ref[:]  # [1, BNB]
+            mr = mtr * (t_i - t_j)                       # [3, BNB]
+
+            # online softmax fold (running max / denominator / numerators)
+            m_new = jnp.maximum(m_run, logits)
+            r = jnp.exp(m_run - m_new)
+            l = jnp.exp(logits - m_new)
+            return (
+                m_new,
+                acc_d * r + l,
+                acc_gd * r + l * gdelta,
+                acc_ta * r + l * mdelta,
+                acc_tr * r + l * mr,
+                acc_msg + msg,   # plain sum over ALL neighbours (masked incl.)
+                acc_cnt + mask,
+            )
+
+        init = (
+            jnp.full((1, BNB), -1e30, F32),
+            jnp.zeros((1, BNB), F32),
+            jnp.zeros((4, BNB), F32),
+            jnp.zeros((N_TORSIONS, BNB), F32),
+            jnp.zeros((3, BNB), F32),
+            jnp.zeros((M, BNB), F32),
+            jnp.zeros((1, BNB), F32),
         )
-        logits = _dot(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]  # [1, BNB]
-        logits = logits - (1.0 - mask) * INFINITY
+        _, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = lax.fori_loop(
+            0, NP, body, init
+        )
 
-        # rotation
-        conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
-        inv_qj = conj_qj / jnp.sum(q_j * q_j, axis=0, keepdims=True)
-        local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
-        rot_pre = _dot(wrm_ref[:], msg) + _dot(wrq_ref[:], local_q) + br1_ref[:]
-        # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)
-        local_delta = jax.nn.sigmoid(
-            _dot(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
-        )  # [4, BNB]
-        gdelta = _qmul_rows(q_j, _qmul_rows(local_delta, inv_qj))
+        inv_d = 1.0 / acc_d  # [1, BNB]
 
-        # torsion
-        tor_pre = _dot(wtm_ref[:], msg) + tor_node + bt1_ref[:]
-        mdelta = _dot(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]  # [7, BNB]
+        # feature update (message PLAIN sum, reference model.py:151)
+        feat_pre = _dot(wfh_ref[:], h) + _dot(wfm_ref[:], acc_msg) + bf1_ref[:]
+        out_feat_ref[:] = _dot(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
+
+        # rotation compose
+        gd = acc_gd * inv_d
+        has_nb = acc_cnt > 0.0  # [1, BNB]
+        iden = (lax.broadcasted_iota(jnp.int32, (4, BNB), 0) == 0).astype(F32)
+        gd = jnp.where(has_nb, gd, iden)
+        gd = gd / jnp.maximum(jnp.sqrt(jnp.sum(gd * gd, axis=0, keepdims=True)), 1e-12)
+        upd_q = _qmul_rows(gd, q_i)
+        out_q_ref[:] = upd_q / jnp.maximum(
+            jnp.sqrt(jnp.sum(upd_q * upd_q, axis=0, keepdims=True)), 1e-12
+        )
+
+        # torsion compose (sin/cos angle addition)
+        delta_a = acc_ta * inv_d  # [7, BNB]
+        sin_d, cos_d = jnp.sin(delta_a), jnp.cos(delta_a)
+        sin_t, cos_t = sin_ref[:], cos_ref[:]
+        out_sin_ref[:] = sin_d * cos_t + cos_d * sin_t
+        out_cos_ref[:] = cos_d * cos_t - sin_d * sin_t
 
         # translation
-        tr_hid = jnp.maximum(_dot(wl1_ref[:], msg) + bl1_ref[:], 0.0)
-        mtr = _dot(wl2_ref[:], tr_hid) + bl2_ref[:]  # [1, BNB]
-        mr = mtr * (t_i - t_j)                       # [3, BNB]
+        out_t_ref[:] = t_i + acc_tr * inv_d
 
-        # online softmax fold (running max / denominator / numerators)
-        m_new = jnp.maximum(m_run, logits)
-        r = jnp.exp(m_run - m_new)
-        l = jnp.exp(logits - m_new)
-        return (
-            m_new,
-            acc_d * r + l,
-            acc_gd * r + l * gdelta,
-            acc_ta * r + l * mdelta,
-            acc_tr * r + l * mr,
-            acc_msg + msg,   # plain sum over ALL neighbours (masked incl.)
-            acc_cnt + mask,
-        )
-
-    init = (
-        jnp.full((1, BNB), -1e30, F32),
-        jnp.zeros((1, BNB), F32),
-        jnp.zeros((4, BNB), F32),
-        jnp.zeros((N_TORSIONS, BNB), F32),
-        jnp.zeros((3, BNB), F32),
-        jnp.zeros((M, BNB), F32),
-        jnp.zeros((1, BNB), F32),
-    )
-    _, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = lax.fori_loop(
-        0, NP, body, init
-    )
-
-    inv_d = 1.0 / acc_d  # [1, BNB]
-
-    # feature update (message PLAIN sum, reference model.py:151)
-    feat_pre = _dot(wfh_ref[:], h) + _dot(wfm_ref[:], acc_msg) + bf1_ref[:]
-    out_feat_ref[:] = _dot(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
-
-    # rotation compose
-    gd = acc_gd * inv_d
-    has_nb = acc_cnt > 0.0  # [1, BNB]
-    iden = (lax.broadcasted_iota(jnp.int32, (4, BNB), 0) == 0).astype(F32)
-    gd = jnp.where(has_nb, gd, iden)
-    gd = gd / jnp.maximum(jnp.sqrt(jnp.sum(gd * gd, axis=0, keepdims=True)), 1e-12)
-    upd_q = _qmul_rows(gd, q_i)
-    out_q_ref[:] = upd_q / jnp.maximum(
-        jnp.sqrt(jnp.sum(upd_q * upd_q, axis=0, keepdims=True)), 1e-12
-    )
-
-    # torsion compose (sin/cos angle addition)
-    delta_a = acc_ta * inv_d  # [7, BNB]
-    sin_d, cos_d = jnp.sin(delta_a), jnp.cos(delta_a)
-    sin_t, cos_t = sin_ref[:], cos_ref[:]
-    out_sin_ref[:] = sin_d * cos_t + cos_d * sin_t
-    out_cos_ref[:] = cos_d * cos_t - sin_d * sin_t
-
-    # translation
-    out_t_ref[:] = t_i + acc_tr * inv_d
+    return _kernel
 
 
 def egnn_forward_pallas_lane(
@@ -239,16 +261,28 @@ def egnn_forward_pallas_lane(
     T = params["message"]["lin1"]["b"].shape[0]
     M = params["message"]["lin2"]["b"].shape[0]
     O = params["feature"]["lin2"]["b"].shape[0]
-    BN = B * N
 
-    BNB = min(lane_block, max(128, -(-BN // 128) * 128))
-    BNp = -(-BN // BNB) * BNB  # round BN up to a multiple of the block
-    pad = BNp - BN
+    # cell geometry: k consecutive query residues x the full (padded)
+    # batch. k is 8 or 16 (Mosaic sublane-dim blocks must be multiples of
+    # 8 — the edge-term BlockSpec slices k rows); Bp pads the batch so
+    # k*Bp lane blocks stay 128-aligned.
+    if N % 16 == 0 and 16 * B <= max(lane_block, 2048):
+        k = 16
+    elif N % 8 == 0:
+        k = 8
+    else:
+        raise ValueError(f"peptide maxlen {N} must be a multiple of 8")
+    sub = 128 // min(k, 128)
+    Bp = -(-B // sub) * sub  # pad batch so k*Bp is a multiple of 128
+    BNB = k * Bp
+    grid = (N // k,)
 
     def node_t(x):
-        """[B, N, C] -> [C, BNp] (bn = b*N + n on lanes)."""
-        flat = jnp.transpose(x.reshape(BN, -1))
-        return jnp.pad(flat, ((0, 0), (0, pad))) if pad else flat
+        """[B, N, C] -> [C, N*Bp] (lane = n * Bp + b, n-major)."""
+        x = x.reshape(B, N, -1)
+        if Bp != B:
+            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        return jnp.transpose(x, (2, 1, 0)).reshape(-1, N * Bp)
 
     pep_mask = peptide_mask.astype(F32)
     pk_mask = pocket_mask.astype(F32)
@@ -260,34 +294,36 @@ def egnn_forward_pallas_lane(
         ),
         axis=-1,
     )  # [B, N, NP]
-    mask_t = jnp.transpose(msg_mask.reshape(BN, NP))  # [NP, BN]
-    mask_t = (jnp.pad(mask_t, ((0, 0), (0, pad))) if pad else mask_t)[:, None, :]
+    if Bp != B:
+        msg_mask = jnp.pad(msg_mask, ((0, Bp - B), (0, 0), (0, 0)))
+    mask_t = jnp.transpose(msg_mask, (2, 1, 0)).reshape(NP, 1, N * Bp)
 
-    # neighbour-side tensors expanded over queries on the lane axis:
-    # [.., B] -> repeat each batch N times -> bn = b*N + n ordering
+    # resident neighbour-side tensors, [NP, C, Bp] (batch on lanes)
     h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
     q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
     t_all = jnp.concatenate((peptide_frames.trans, pocket_frames.trans), axis=-2)
 
-    def nbr_exp(x):
-        """[B, NP, C] -> [NP, C, BNp]."""
-        y = jnp.repeat(jnp.transpose(x, (1, 2, 0)), N, axis=-1)  # [NP, C, BN]
-        return jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
+    def nbr_t(x):
+        """[B, NP, C] -> [NP, C, Bp]."""
+        if Bp != B:
+            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        return jnp.transpose(x, (1, 2, 0))
 
     w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)  # [2H+E, T]
-    b1m = jnp.asarray(params["message"]["lin1"]["b"], F32)
-    # a_j = h_all @ W1[H:2H]  -> [B, NP, T]; expand over queries; add the
-    # edge term (zero toward the pocket) tiled over batches and the bias
+    # a_j = h_all @ W1[H:2H] -> [B, NP, T] -> [NP, T, Bp]
     a_j = jnp.einsum(
-        "bph,ht->bpt", h_all, w1m[H:2 * H],
-        precision=lax.Precision.HIGHEST,
+        "bph,ht->bpt", h_all, w1m[H:2 * H], precision=lax.Precision.HIGHEST,
     )
-    a_j_exp = jnp.repeat(jnp.transpose(a_j, (1, 2, 0)), N, axis=-1)  # [NP, T, BN]
-    edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))  # [N, NP, T]
-    edge_t = jnp.tile(jnp.transpose(edge_full, (1, 2, 0)), (1, 1, B))  # [NP, T, BN]
-    pre_add = a_j_exp + edge_t + b1m[None, :, None]
-    if pad:
-        pre_add = jnp.pad(pre_add, ((0, 0), (0, 0), (0, pad)))
+    aj3 = nbr_t(a_j)
+    # edge term (zero toward the pocket): [N, NP, T] -> [NP, N, T]
+    # (query residues on the SUBLANE dim so per-cell k-row blocks are legal)
+    edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))
+    edge3 = jnp.transpose(edge_full, (1, 0, 2))
+    # one-hot n-expansion matrix: S[j, n*Bp + b] = (n == j)
+    s_mat = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 1) // Bp
+        == jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 0)
+    ).astype(F32)
 
     tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
 
@@ -300,6 +336,7 @@ def egnn_forward_pallas_lane(
     w1t = jnp.asarray(p["torsion"]["lin1"]["w"], F32)    # [M+14, T]
     weights = [
         col(w1m[:H]),                                     # wmi [T, H]
+        bias(p["message"]["lin1"]["b"]),
         col(p["message"]["lin2"]["w"]), bias(p["message"]["lin2"]["b"]),
         col(w1a[:M]), w1a[M].reshape(-1, 1), w1a[M + 1].reshape(-1, 1),
         bias(p["attention"]["lin1"]["b"]),
@@ -314,10 +351,12 @@ def egnn_forward_pallas_lane(
         col(p["torsion"]["lin2"]["w"]), bias(p["torsion"]["lin2"]["b"]),
     ]
 
-    grid = (BNp // BNB,)
     lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i), memory_space=pltpu.VMEM)
-    nbr = lambda c: pl.BlockSpec(
-        (NP, c, BNB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    res = lambda c, w: pl.BlockSpec(
+        (NP, c, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    cell3 = lambda c, w: pl.BlockSpec(
+        (NP, c, w), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -326,15 +365,20 @@ def egnn_forward_pallas_lane(
     in_specs = [
         lane(H), lane(4), lane(3), lane(2 * N_TORSIONS),
         lane(N_TORSIONS), lane(N_TORSIONS),
-        nbr(T), nbr(4), nbr(3), nbr(1),
+        res(T, Bp), res(4, Bp), res(3, Bp),
+        # edge3 [NP, N, T]: this cell's k query-residue ROWS (middle dim)
+        pl.BlockSpec((NP, k, T), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        cell3(1, BNB),  # mask rows for this cell
+        const((k, BNB)),
     ] + [const(w.shape) for w in weights]
     out_specs = (lane(4), lane(3), lane(N_TORSIONS), lane(N_TORSIONS), lane(O))
     out_shape = tuple(
-        jax.ShapeDtypeStruct((c, BNp), F32) for c in (4, 3, N_TORSIONS, N_TORSIONS, O)
+        jax.ShapeDtypeStruct((c, N * Bp), F32)
+        for c in (4, 3, N_TORSIONS, N_TORSIONS, O)
     )
 
     out_q, out_t, out_sin, out_cos, out_feat = pl.pallas_call(
-        _kernel,
+        _make_kernel(k),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -350,16 +394,13 @@ def egnn_forward_pallas_lane(
         node_t(tors_flat),
         node_t(peptide_torsions[..., 0]),
         node_t(peptide_torsions[..., 1]),
-        pre_add,
-        nbr_exp(q_all),
-        nbr_exp(t_all),
-        mask_t,
+        aj3, nbr_t(q_all), nbr_t(t_all), edge3, mask_t, s_mat,
         *weights,
     )
 
     def node_back(x):
-        """[C, BNp] -> [B, N, C]."""
-        return jnp.transpose(x[:, :BN]).reshape(B, N, -1)
+        """[C, N*Bp] -> [B, N, C]."""
+        return jnp.transpose(x.reshape(-1, N, Bp), (2, 1, 0))[:B]
 
     out_tors = jnp.stack((node_back(out_sin), node_back(out_cos)), axis=-1)
     return (

@@ -70,7 +70,14 @@ def main():
                 (batch["features"], jnp.full((B, N, 1), 0.5, jnp.float32)),
                 axis=-1,
             )
-        pocket_h = jnp.concatenate(
+        pocket_feats = batch["pocket_features"]
+        if args.scan:
+            # pocket features zero-padded to the layer width (the same
+            # thing score.py does between layers)
+            pocket_feats = jnp.pad(
+                pocket_feats, ((0, 0), (0, 0), (0, 64 - pocket_feats.shape[-1]))
+            )
+        pocket_h = pocket_feats if args.scan else jnp.concatenate(
             (batch["pocket_features"], jnp.zeros((B, Pk, 1), jnp.float32)),
             axis=-1,
         )
