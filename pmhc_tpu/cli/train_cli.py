@@ -34,10 +34,15 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--lr", type=float, default=0.001, help="learning rate")
     p.add_argument("--pack", action="store_true",
                    help="decode the HDF5 once into RAM-packed arrays "
-                        "(parallel across processes) so epochs stream at "
-                        "memory speed — the per-entry h5py decode tops out "
-                        "~140 examples/s, 135x short of the chip "
-                        "(tools/bench_loader.py)")
+                        "(native C++ decoder when available) so epochs "
+                        "stream at memory speed — the per-entry h5py "
+                        "decode tops out ~140 examples/s, 135x short of "
+                        "the chip (tools/bench_loader.py)")
+    p.add_argument("--device-data", action="store_true",
+                   help="additionally keep the packed dataset RESIDENT on "
+                        "device and gather batches on-device (implies "
+                        "--pack; ~34 KB/entry of HBM) — removes bulk "
+                        "host->device uploads from the hot path entirely")
     # TPU-native extensions
     p.add_argument("--mesh-data", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
@@ -147,12 +152,22 @@ def main(argv=None) -> None:
             trainer.global_step = step
             _log.info("restored orbax checkpoint at step %d", step)
 
-    if args.pack:
+    if args.pack or args.device_data:
         from pmhc_tpu.data import PackedDataset
 
         dataset = PackedDataset(args.train_hdf5, num_workers=args.num_workers)
         _log.info("packed %d entries (%.0f MB RAM)", len(dataset),
                   dataset.nbytes / 1e6)
+        if args.device_data:
+            from pmhc_tpu.data import DeviceDataset
+            from pmhc_tpu.parallel.mesh import replicated_sharding
+
+            dataset = DeviceDataset(
+                dataset,
+                sharding=replicated_sharding(mesh) if mesh else None,
+            )
+            _log.info("dataset resident on device (%.0f MB HBM)",
+                      dataset.nbytes / 1e6)
     else:
         dataset = PmhcDataset(args.train_hdf5)
     loader = PrefetchLoader(

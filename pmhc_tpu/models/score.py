@@ -148,6 +148,7 @@ def score_network_forward(
         def layer(p, *args):
             return egnn_forward_pallas_lane_trainable(
                 p, *args, lane_block=config.lane_block, interpret=interpret,
+                bf16=precision is None,  # the CLI --bf16 convention
             )
     elif config.backend == "pallas":
         # differentiable: Pallas forward + XLA-remat backward, so the

@@ -76,8 +76,22 @@ def _qmul_rows(q1, q2):
     )
 
 
-def _make_kernel(k: int):
-    """Kernel for cells of k consecutive query residues x all batches."""
+def _make_kernel(k: int, bf16: bool = False):
+    """Kernel for cells of k consecutive query residues x all batches.
+
+    ``bf16``: run the MLP matmuls with bf16 MXU inputs and f32
+    accumulation (the same trade as the XLA path's --bf16 mode: one MXU
+    pass instead of the ~6 of precision=HIGHEST). Geometry (quaternion
+    algebra, distances, softmax, sin/cos composition) stays f32."""
+
+    if bf16:
+        def _mm(a, b):
+            return lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=F32,
+            )
+    else:
+        _mm = _dot
 
     def _kernel(
         # per-node blocks (lane dim = cell's k*Bp lanes, n-major)
@@ -124,8 +138,8 @@ def _make_kernel(k: int):
         s_mat = s_ref[:]
 
         # per-node terms, computed once per cell
-        a_i = _dot(wmi_ref[:], h) + bm1_ref[:]    # [T, BNB]
-        tor_node = _dot(wtt_ref[:], tors_ref[:])  # [T, BNB]
+        a_i = _mm(wmi_ref[:], h) + bm1_ref[:]    # [T, BNB]
+        tor_node = _mm(wtt_ref[:], tors_ref[:])  # [T, BNB]
 
         def expand(block):
             """[C, Bp] neighbour block -> [C, BNB]: the same block for
@@ -144,7 +158,7 @@ def _make_kernel(k: int):
                 precision=lax.Precision.HIGHEST,
             )  # [T, BNB]
             pre = a_i + expand(aj_ref[np_i]) + edge_exp
-            msg = _dot(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
+            msg = _mm(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
 
             q_j = expand(qj_ref[np_i])             # [4, BNB]
             t_j = expand(tj_ref[np_i])             # [3, BNB]
@@ -155,32 +169,32 @@ def _make_kernel(k: int):
             qdot2 = jnp.square(qdot)
 
             att_pre = (
-                _dot(wam_ref[:], msg)
+                _mm(wam_ref[:], msg)
                 + wad_ref[:] * (-d2)               # [T,1] * [1,BNB]
                 + waq_ref[:] * qdot2
                 + ba1_ref[:]
             )
-            logits = _dot(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]
+            logits = _mm(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]
             logits = logits - (1.0 - mask) * INFINITY  # [1, BNB]
 
             # rotation
             conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
             inv_qj = conj_qj / jnp.sum(q_j * q_j, axis=0, keepdims=True)
             local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
-            rot_pre = _dot(wrm_ref[:], msg) + _dot(wrq_ref[:], local_q) + br1_ref[:]
+            rot_pre = _mm(wrm_ref[:], msg) + _mm(wrq_ref[:], local_q) + br1_ref[:]
             # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)
             local_delta = jax.nn.sigmoid(
-                _dot(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
+                _mm(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
             )  # [4, BNB]
             gdelta = _qmul_rows(q_j, _qmul_rows(local_delta, inv_qj))
 
             # torsion
-            tor_pre = _dot(wtm_ref[:], msg) + tor_node + bt1_ref[:]
-            mdelta = _dot(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]  # [7, BNB]
+            tor_pre = _mm(wtm_ref[:], msg) + tor_node + bt1_ref[:]
+            mdelta = _mm(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]  # [7, BNB]
 
             # translation
-            tr_hid = jnp.maximum(_dot(wl1_ref[:], msg) + bl1_ref[:], 0.0)
-            mtr = _dot(wl2_ref[:], tr_hid) + bl2_ref[:]  # [1, BNB]
+            tr_hid = jnp.maximum(_mm(wl1_ref[:], msg) + bl1_ref[:], 0.0)
+            mtr = _mm(wl2_ref[:], tr_hid) + bl2_ref[:]  # [1, BNB]
             mr = mtr * (t_i - t_j)                       # [3, BNB]
 
             # online softmax fold (running max / denominator / numerators)
@@ -213,8 +227,8 @@ def _make_kernel(k: int):
         inv_d = 1.0 / acc_d  # [1, BNB]
 
         # feature update (message PLAIN sum, reference model.py:151)
-        feat_pre = _dot(wfh_ref[:], h) + _dot(wfm_ref[:], acc_msg) + bf1_ref[:]
-        out_feat_ref[:] = _dot(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
+        feat_pre = _mm(wfh_ref[:], h) + _mm(wfm_ref[:], acc_msg) + bf1_ref[:]
+        out_feat_ref[:] = _mm(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
 
         # rotation compose
         gd = acc_gd * inv_d
@@ -252,8 +266,12 @@ def egnn_forward_pallas_lane(
     pocket_mask: jnp.ndarray,
     lane_block: int = 1024,
     interpret: bool = False,
+    bf16: bool = False,
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in fused replacement for ``egnn_forward`` (lane-packed)."""
+    """Drop-in fused replacement for ``egnn_forward`` (lane-packed).
+
+    ``bf16``: MLP matmuls run with bf16 MXU inputs + f32 accumulation
+    (geometry stays f32) — the kernel twin of the XLA path's --bf16."""
     B, N = peptide_mask.shape
     P = pocket_mask.shape[-1]
     NP = N + P
@@ -378,7 +396,7 @@ def egnn_forward_pallas_lane(
     )
 
     out_q, out_t, out_sin, out_cos, out_feat = pl.pallas_call(
-        _make_kernel(k),
+        _make_kernel(k, bf16),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -420,7 +438,7 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _trainable(lane_block: int, interpret: bool):
+def _trainable(lane_block: int, interpret: bool, bf16: bool):
     from pmhc_tpu.models.egnn import egnn_forward as _xla_forward
 
     @jax.custom_vjp
@@ -429,6 +447,7 @@ def _trainable(lane_block: int, interpret: bool):
         return egnn_forward_pallas_lane(
             params, frames, torsions, feats, edge_pre, mask, pk_feats,
             pk_frames, pk_mask, lane_block=lane_block, interpret=interpret,
+            bf16=bf16,
         )
 
     def fwd(*args):
@@ -445,9 +464,10 @@ def _trainable(lane_block: int, interpret: bool):
 def egnn_forward_pallas_lane_trainable(
     params, frames, torsions, feats, edge_pre, mask, pk_feats, pk_frames,
     pk_mask, lane_block: int = 1024, interpret: bool = False,
+    bf16: bool = False,
 ):
     """Differentiable fused layer: Pallas forward, XLA-remat backward."""
-    return _trainable(lane_block, interpret)(
+    return _trainable(lane_block, interpret, bf16)(
         params, frames, torsions, feats, edge_pre, mask, pk_feats,
         pk_frames, pk_mask,
     )

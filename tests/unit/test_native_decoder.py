@@ -49,3 +49,33 @@ def test_packed_dataset_uses_native(tmp_path):
     batch = packed.get_batch([1, 3])
     assert batch["frames"].shape == (2, 16, 7)
     assert batch["name"] == [ds.entry_names[1], ds.entry_names[3]]
+
+
+def test_device_dataset_matches_packed(tmp_path):
+    """DeviceDataset batches (on-device gather) equal PackedDataset
+    batches, and the train CLI runs with --device-data."""
+    import jax.numpy as jnp
+
+    from pmhc_tpu.data import DeviceDataset, PackedDataset
+
+    h5 = str(tmp_path / "t.hdf5")
+    write_synthetic_hdf5(h5, n_entries=6, peptide_lengths=(9, 10), seed=2)
+    packed = PackedDataset(h5)
+    dev = DeviceDataset(packed)
+    a = packed.get_batch([0, 3, 5])
+    b = dev.get_batch([0, 3, 5])
+    assert a["name"] == b["name"]
+    for k in KEYS:
+        np.testing.assert_array_equal(np.asarray(b[k]), np.asarray(a[k]), err_msg=k)
+
+
+def test_train_cli_device_data(tmp_path):
+    import os
+
+    from pmhc_tpu.cli.train_cli import main
+
+    h5 = str(tmp_path / "train.hdf5")
+    write_synthetic_hdf5(h5, n_entries=6, peptide_lengths=(9,), seed=0)
+    model = str(tmp_path / "m.pth")
+    main([h5, "1", model, "-T", "8", "--batch-size", "3", "--device-data"])
+    assert os.path.isfile(model)

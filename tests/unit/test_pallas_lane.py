@@ -122,3 +122,24 @@ def test_lane_trainable_grads_match_dense():
         # near-zero-gradient leaves need an absolute floor at that scale
         np.testing.assert_allclose(
             b, a, atol=max(1e-4 * float(np.abs(a).max()), 1e-5))
+
+
+def test_lane_kernel_bf16_close_to_f32():
+    """bf16 MXU mode tracks the f32 kernel at bf16-rounding scale. The
+    attention softmax amplifies logit rounding RELATIVELY (the same
+    documented effect as the XLA path's --bf16: trajectories differ,
+    distributions/quality don't), so tolerances are sanity-level, and the
+    quats must stay unit-norm (geometry is f32)."""
+    params, args = _layer_inputs(batch_size=4)
+    f32_f, f32_t, f32_h = egnn_forward_pallas_lane(
+        params, *args, lane_block=128, interpret=True)
+    b_f, b_t, b_h = egnn_forward_pallas_lane(
+        params, *args, lane_block=128, interpret=True, bf16=True)
+    np.testing.assert_allclose(
+        np.asarray(b_f.quats), np.asarray(f32_f.quats), atol=5e-2)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(b_f.quats), axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b_f.trans), np.asarray(f32_f.trans), atol=0.5)
+    np.testing.assert_allclose(np.asarray(b_t), np.asarray(f32_t), atol=0.1)
+    np.testing.assert_allclose(np.asarray(b_h), np.asarray(f32_h), atol=0.5)

@@ -100,6 +100,32 @@ def main():
                           "examples_per_sec": round(pdrain, 1),
                           "batch_size": args.batch_size}), flush=True)
 
+        # 2c. device-resident path (upload once, gather on device)
+        from pmhc_tpu.data import DeviceDataset
+
+        t0 = time.perf_counter()
+        dev = DeviceDataset(packed)
+        upload_s = time.perf_counter() - t0
+        dloader = PrefetchLoader(dev, batch_size=args.batch_size,
+                                 num_workers=args.num_workers)
+        for _ in range(args.epochs):
+            n = 0
+            t0 = time.perf_counter()
+            last = None
+            for batch in dloader:
+                n += batch["mask"].shape[0]
+                last = batch
+            # device fetch barrier on the final gather
+            import numpy as _np
+
+            _np.asarray(last["frames"])
+            ddrain = n / (time.perf_counter() - t0)
+        print(json.dumps({"stage": "device_loader_drain",
+                          "examples_per_sec": round(ddrain, 1),
+                          "upload_once_s": round(upload_s, 2),
+                          "batch_size": args.batch_size}), flush=True)
+        ploader = dloader  # the no-starvation stage uses the best path
+
         # 3. no-starvation: consumer emulates the device step duration
         step_s = args.batch_size / args.device_examples_per_sec
         n = 0

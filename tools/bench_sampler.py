@@ -72,10 +72,11 @@ def main():
         }
         print(json.dumps({"backend": backend, **results[backend]}), flush=True)
 
-    if len(results) == 2:
-        a, b = results["xla"], results["pallas"]
+    names = list(results)
+    if len(names) == 2:
+        a, b = results[names[0]], results[names[1]]
         print(json.dumps({
-            "pallas_speedup_vs_xla": round(
+            f"{names[1]}_speedup_vs_{names[0]}": round(
                 a["seconds_per_batch"] / b["seconds_per_batch"], 2
             )
         }))
