@@ -133,8 +133,10 @@ def bench_ours() -> float:
 
 def bench_sampler() -> float:
     """Secondary metric: full T=1000 reverse-diffusion samples/sec at batch
-    64, f32 (the parity-exact configuration; tools/bench_sampler.py has the
-    full backend × precision matrix)."""
+    64, f32, with the lane-packed fused kernel (measured 66.7/s vs 49.9
+    for the XLA backend; tools/bench_sampler.py has the full backend x
+    precision matrix). Falls back to the XLA backend if the Mosaic
+    compile ever fails on a future platform."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -146,19 +148,27 @@ def bench_sampler() -> float:
     from pmhc_tpu.train.trainer import prepare_batch
 
     dc = DiffusionConfig(noise_step_count=1000)
-    mc = ScoreNetworkConfig(noise_step_count=1000)
     batch = prepare_batch(synthetic_batch(batch_size=BATCH_SIZE, seed=0))
     noise = gen_noise(jax.random.key(1), batch["frames"].shape, dc)
     batch["frames"] = noise["frames"]
     batch["torsions"] = noise["torsions"]
     batch = jax.device_put(batch)
-    params = init_score_network(jax.random.key(0), mc)
-    run = jax.jit(
-        lambda p, b, k: sample(p, b, k, dc, mc, precision=DEFAULT_PRECISION)
-    )
 
-    out = run(params, batch, jax.random.key(2))  # compile + warmup
-    np.asarray(out["frames"].quats)
+    def build(backend):
+        mc = ScoreNetworkConfig(noise_step_count=1000, backend=backend)
+        params = init_score_network(jax.random.key(0), mc)
+        return params, jax.jit(
+            lambda p, b, k: sample(p, b, k, dc, mc, precision=DEFAULT_PRECISION)
+        )
+
+    try:
+        params, run = build("pallas_lane")
+        out = run(params, batch, jax.random.key(2))  # compile + warmup
+        np.asarray(out["frames"].quats)
+    except Exception:
+        params, run = build("xla")
+        out = run(params, batch, jax.random.key(2))
+        np.asarray(out["frames"].quats)
     best = 0.0
     for i in range(3):
         start = time.perf_counter()

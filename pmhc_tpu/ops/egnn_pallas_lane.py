@@ -76,7 +76,7 @@ def _qmul_rows(q1, q2):
     )
 
 
-def _make_kernel(k: int, bf16: bool = False):
+def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
     """Kernel for cells of k consecutive query residues x all batches.
 
     ``bf16``: run the MLP matmuls with bf16 MXU inputs and f32
@@ -146,7 +146,7 @@ def _make_kernel(k: int, bf16: bool = False):
             every query residue in the cell (lane tile)."""
             return pltpu.repeat(block, k, axis=1) if k > 1 else block
 
-        def body(np_i, carry):
+        def one_neighbour(np_i, carry):
             m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
 
             # the n-dependent edge term expands with a one-hot matmul:
@@ -220,8 +220,21 @@ def _make_kernel(k: int, bf16: bool = False):
             jnp.zeros((M, BNB), F32),
             jnp.zeros((1, BNB), F32),
         )
+        # manual partial unroll: each neighbour's op chain (pre -> msg ->
+        # heads) is data-dependent, but different neighbours are
+        # independent except for the cheap accumulator folds — inlining
+        # `unroll` neighbours per loop step lets Mosaic interleave their
+        # chains and hide the small-matmul MXU latency (Pallas's
+        # fori_loop only lowers unroll=1 or full)
+        u = unroll if NP % unroll == 0 else 1
+
+        def body(step, carry):
+            for j in range(u):
+                carry = one_neighbour(step * u + j, carry)
+            return carry
+
         _, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = lax.fori_loop(
-            0, NP, body, init
+            0, NP // u, body, init
         )
 
         inv_d = 1.0 / acc_d  # [1, BNB]
@@ -267,6 +280,7 @@ def egnn_forward_pallas_lane(
     lane_block: int = 1024,
     interpret: bool = False,
     bf16: bool = False,
+    unroll: int = 4,
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for ``egnn_forward`` (lane-packed).
 
@@ -396,7 +410,7 @@ def egnn_forward_pallas_lane(
     )
 
     out_q, out_t, out_sin, out_cos, out_feat = pl.pallas_call(
-        _make_kernel(k, bf16),
+        _make_kernel(k, bf16, unroll),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

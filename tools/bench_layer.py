@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--lane-block", type=int, default=1024)
+    ap.add_argument("--unroll", type=int, default=4)
+    ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--scan", type=int, default=0,
                     help="chain the layer K times inside one lax.scan "
                          "(H=64 chainable config) — measures steady-state "
@@ -88,11 +90,15 @@ def main():
             batch["pocket_frames"], batch["pocket_mask"].astype(jnp.float32),
         ))
 
+        from pmhc_tpu.models.nn import DEFAULT_PRECISION
+
+        xla_prec = None if args.bf16 else DEFAULT_PRECISION
         fns = {
-            "xla": lambda *a: egnn_forward(*a),
+            "xla": lambda *a: egnn_forward(*a, xla_prec),
             "pallas": lambda *a: egnn_forward_pallas(*a, batch_block=4),
             "pallas_lane": lambda *a: egnn_forward_pallas_lane(
-                *a, lane_block=args.lane_block),
+                *a, lane_block=args.lane_block, unroll=args.unroll,
+                bf16=args.bf16),
         }
         ref = None
         for backend in args.backends.split(","):
