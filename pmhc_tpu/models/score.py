@@ -136,17 +136,19 @@ def score_network_forward(
     )
 
     if config.backend == "pallas_lane":
-        # round-2 lane-packed fused kernel: (batch, residue) pairs on the
-        # lane axis, neighbour loop with online softmax
-        # (pmhc_tpu/ops/egnn_pallas_lane.py)
-        from pmhc_tpu.ops.egnn_pallas_lane import (
-            egnn_forward_pallas_lane_trainable,
+        # round-2 lane-packed fused kernel: (residue, batch) pairs on the
+        # lane axis, neighbour loop with online softmax. Fully
+        # differentiable: the neighbour loop carries a hand-written
+        # Pallas BACKWARD (pmhc_tpu/ops/egnn_pallas_lane_vjp.py), so
+        # training pays no XLA-remat tax.
+        from pmhc_tpu.ops.egnn_pallas_lane_vjp import (
+            egnn_forward_pallas_lane_vjp,
         )
 
         interpret = jax.default_backend() != "tpu"
 
         def layer(p, *args):
-            return egnn_forward_pallas_lane_trainable(
+            return egnn_forward_pallas_lane_vjp(
                 p, *args, lane_block=config.lane_block, interpret=interpret,
                 bf16=precision is None,  # the CLI --bf16 convention
             )

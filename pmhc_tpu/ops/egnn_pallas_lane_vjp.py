@@ -1,0 +1,699 @@
+"""Differentiable lane-packed EGNN layer: Pallas forward AND backward.
+
+``egnn_pallas_lane.py``'s monolithic kernel is forward-only; its trainable
+wrapper pays an extra full XLA forward in the backward (remat). This
+module removes that tax with a hand-written backward kernel, structured
+for differentiability:
+
+    XLA pre-projections  ->  Pallas NEIGHBOUR LOOP (custom_vjp)  ->  XLA finalize
+    (a_i, a_j, tor_node,     raw online-softmax accumulators         (feature MLP,
+     layout transposes)      m, D, GD, TA, TR, MSG, CNT)             quat/torsion/
+                                                                      translation
+                                                                      composes)
+
+Only the O(BN * NP) neighbour loop lives in Pallas; everything per-node is
+plain jnp, so JAX autodiff handles the pre/post stages and the loop's
+custom VJP supplies d(inputs) and d(weights) from a flash-style backward:
+re-run the loop, recompute each neighbour block's intermediates, and turn
+the softmax-numerator cotangents into logit/message/head gradients
+(exact: the running max m is a shift the D-normalized finalize cancels,
+so its cotangent is identically zero).
+
+Weight gradients accumulate across grid cells in revisited output blocks
+(constant index maps, zero-initialized at the first cell) — the standard
+Pallas reduction-output pattern. Parity:
+tests/unit/test_pallas_lane_vjp.py (interpret mode, values AND grads vs
+the dense XLA layer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pmhc_tpu.geometry import (
+    RigidArray,
+    multiply_sin_cos,
+    quat_multiply,
+    torch_normalize,
+)
+from pmhc_tpu.ops.egnn_pallas_lane import _dot, _qmul_rows
+
+N_TORSIONS = 7
+INFINITY = 1e9
+F32 = jnp.float32
+
+# loop-weight pytree order (everything the neighbour loop consumes)
+_LOOP_W = ("wm2", "bm2", "wam", "wad", "waq", "ba1", "wa2", "ba2",
+           "wl1", "bl1", "wl2", "bl2", "wrm", "wrq", "br1", "wr2", "br2",
+           "wtm", "bt1", "wt2", "bt2")
+
+
+def _qconj(q):
+    return jnp.concatenate((q[0:1], -q[1:]), axis=0)
+
+
+def _mm_maker(bf16):
+    if bf16:
+        def _mm(a, b):
+            return lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=F32,
+            )
+        def _mm0(a, b):  # contract dim0 x dim0
+            return lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=F32,
+            )
+        def _mmL(a, b):  # contract LANES: [C, L] x [C', L] -> [C, C']
+            return lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=F32,
+            )
+    else:
+        _mm = _dot
+
+        def _mm0(a, b):
+            return lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        def _mmL(a, b):
+            return lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )
+    return _mm, _mm0, _mmL
+
+
+def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
+                     aj, qj, tj, edge_kT, mask, s_mat):
+    """Forward intermediates for one neighbour index (shared by the fwd
+    kernel and the bwd recompute)."""
+    edge_exp = lax.dot_general(
+        edge_kT, s_mat, (((0,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=lax.Precision.HIGHEST,
+    )
+    pre = a_i + expand(aj) + edge_exp
+    hid_m = jnp.maximum(pre, 0.0)
+    msg = _mm(w["wm2"], hid_m) + w["bm2"]
+
+    q_j = expand(qj)
+    t_j = expand(tj)
+
+    d2 = jnp.sum(jnp.square(t_i - t_j), axis=0, keepdims=True)
+    qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
+    att_pre = (_mm(w["wam"], msg) + w["wad"] * (-d2)
+               + w["waq"] * jnp.square(qdot) + w["ba1"])
+    hid_a = jnp.maximum(att_pre, 0.0)
+    logit = _mm(w["wa2"], hid_a) + w["ba2"] - (1.0 - mask) * INFINITY
+
+    # exact-zero guard: batch-PADDING lanes carry zero quats, and 0/0
+    # NaNs would poison the backward's lane-reduction weight grads even
+    # though every padded cotangent is zero (NaN * 0 = NaN). Any real
+    # quat has |q|^2 >> 1e-30, so this changes nothing else.
+    sq = jnp.maximum(jnp.sum(q_j * q_j, axis=0, keepdims=True), 1e-30)
+    inv_qj = _qconj(q_j) / sq
+    v = _qmul_rows(q_i, q_j)
+    local_q = _qmul_rows(inv_qj, v)
+    rot_pre = _mm(w["wrm"], msg) + _mm(w["wrq"], local_q) + w["br1"]
+    hid_r = jnp.maximum(rot_pre, 0.0)
+    ld = jax.nn.sigmoid(_mm(w["wr2"], hid_r) + w["br2"])
+    u = _qmul_rows(ld, inv_qj)
+    gdelta = _qmul_rows(q_j, u)
+
+    tor_pre = _mm(w["wtm"], msg) + tor_node + w["bt1"]
+    hid_t = jnp.maximum(tor_pre, 0.0)
+    mdelta = _mm(w["wt2"], hid_t) + w["bt2"]
+
+    tr_pre = _mm(w["wl1"], msg) + w["bl1"]
+    tr_hid = jnp.maximum(tr_pre, 0.0)
+    mtr = _mm(w["wl2"], tr_hid) + w["bl2"]
+    mr = mtr * (t_i - t_j)
+
+    return dict(pre=pre, hid_m=hid_m, msg=msg, q_j=q_j, t_j=t_j, d2=d2,
+                qdot=qdot, att_pre=att_pre, hid_a=hid_a, logit=logit,
+                sq=sq, inv_qj=inv_qj, v=v, local_q=local_q,
+                rot_pre=rot_pre, hid_r=hid_r, ld=ld, u=u, gdelta=gdelta,
+                tor_pre=tor_pre, hid_t=hid_t, mdelta=mdelta, tr_pre=tr_pre,
+                tr_hid=tr_hid, mtr=mtr, mr=mr, mask=mask)
+
+
+def _make_loop_fwd(k: int, bf16: bool, unroll: int):
+    _mm, _mm0, _mmL = _mm_maker(bf16)
+
+    def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
+               aj_ref, qj_ref, tj_ref, edge_ref, mask_ref, s_ref,
+               *w_then_out):
+        w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
+        w = {n: r[:] for n, r in w.items()}
+        (m_ref, d_ref, gd_ref, ta_ref, tr_ref, msg_ref, cnt_ref) = \
+            w_then_out[len(_LOOP_W):]
+        NP = aj_ref.shape[0]
+        M = w["wm2"].shape[0]
+        BNB = ai_ref.shape[-1]
+
+        a_i = ai_ref[:]
+        tor_node = tor_ref[:]
+        q_i = qi_ref[:]
+        t_i = ti_ref[:]
+        s_mat = s_ref[:]
+
+        def expand(block):
+            return pltpu.repeat(block, k, axis=1) if k > 1 else block
+
+        def one(np_i, carry):
+            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
+            r_ = _recompute_block(
+                w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
+                aj_ref[np_i], qj_ref[np_i], tj_ref[np_i], edge_ref[np_i],
+                mask_ref[np_i], s_mat,
+            )
+            m_new = jnp.maximum(m_run, r_["logit"])
+            r = jnp.exp(m_run - m_new)
+            l = jnp.exp(r_["logit"] - m_new)
+            return (
+                m_new,
+                acc_d * r + l,
+                acc_gd * r + l * r_["gdelta"],
+                acc_ta * r + l * r_["mdelta"],
+                acc_tr * r + l * r_["mr"],
+                acc_msg + r_["msg"],
+                acc_cnt + r_["mask"],
+            )
+
+        init = (
+            jnp.full((1, BNB), -1e30, F32),
+            jnp.zeros((1, BNB), F32),
+            jnp.zeros((4, BNB), F32),
+            jnp.zeros((N_TORSIONS, BNB), F32),
+            jnp.zeros((3, BNB), F32),
+            jnp.zeros((M, BNB), F32),
+            jnp.zeros((1, BNB), F32),
+        )
+        u_ = unroll if NP % unroll == 0 else 1
+
+        def body(step, carry):
+            for j in range(u_):
+                carry = one(step * u_ + j, carry)
+            return carry
+
+        m, d, gd, ta, tr, msg, cnt = lax.fori_loop(0, NP // u_, body, init)
+        m_ref[:] = m
+        d_ref[:] = d
+        gd_ref[:] = gd
+        ta_ref[:] = ta
+        tr_ref[:] = tr
+        msg_ref[:] = msg
+        cnt_ref[:] = cnt
+
+    return kernel
+
+
+def _make_loop_bwd(k: int, bf16: bool, unroll: int):
+    _mm, _mm0, _mmL = _mm_maker(bf16)
+
+    def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
+               aj_ref, qj_ref, tj_ref, edge_ref, mask_ref, s_ref, j_ref,
+               m_ref, gd_ct_ref, gta_ref, gtr_ref, gdn_ref, gmsg_ref,
+               *w_then_out):
+        w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
+        w = {n: r[:] for n, r in w.items()}
+        outs = w_then_out[len(_LOOP_W):]
+        (dai_ref, dtor_ref, dqi_ref, dti_ref,
+         daj_ref, dqj_ref, dtj_ref, dedge_ref) = outs[:8]
+        dw_refs = dict(zip(_LOOP_W, outs[8:]))
+
+        NP = aj_ref.shape[0]
+        BNB = ai_ref.shape[-1]
+
+        a_i = ai_ref[:]
+        tor_node = tor_ref[:]
+        q_i = qi_ref[:]
+        t_i = ti_ref[:]
+        s_mat = s_ref[:]
+        j_mat = j_ref[:]          # [BNB, Bp] lane-collapse: J[n*Bp+b, b]=1
+        m_fin = m_ref[:]          # [1, BNB] final running max (residual)
+        g_gd = gd_ct_ref[:]       # cotangent of GD [4, BNB]
+        g_ta = gta_ref[:]         # [7, BNB]
+        g_tr = gtr_ref[:]         # [3, BNB]
+        g_d = gdn_ref[:]          # [1, BNB]
+        g_msg = gmsg_ref[:]       # [M, BNB]
+
+        first_cell = pl.program_id(0) == 0
+
+        @pl.when(first_cell)
+        def _():
+            daj_ref[:] = jnp.zeros(daj_ref.shape, F32)
+            dqj_ref[:] = jnp.zeros(dqj_ref.shape, F32)
+            dtj_ref[:] = jnp.zeros(dtj_ref.shape, F32)
+            for r in dw_refs.values():
+                r[:] = jnp.zeros(r.shape, F32)
+
+        def expand(block):
+            return pltpu.repeat(block, k, axis=1) if k > 1 else block
+
+        def collapse(x):
+            """[C, BNB] -> [C, Bp]: sum over the k query tiles (the
+            transpose of ``expand``), as one lane-contraction matmul."""
+            return lax.dot_general(
+                x, j_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        def one(np_i, carry):
+            (dai, dtor_node, dqi, dti, dw) = carry
+            r_ = _recompute_block(
+                w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
+                aj_ref[np_i], qj_ref[np_i], tj_ref[np_i], edge_ref[np_i],
+                mask_ref[np_i], s_mat,
+            )
+            q_j, t_j = r_["q_j"], r_["t_j"]
+            inv_qj, ld, v, u_q = r_["inv_qj"], r_["ld"], r_["v"], r_["u"]
+
+            e = jnp.exp(r_["logit"] - m_fin)  # [1, BNB]
+
+            # softmax-numerator cotangents -> per-neighbour value/logit
+            ge = (jnp.sum(g_gd * r_["gdelta"], axis=0, keepdims=True)
+                  + jnp.sum(g_ta * r_["mdelta"], axis=0, keepdims=True)
+                  + jnp.sum(g_tr * r_["mr"], axis=0, keepdims=True)
+                  + g_d)
+            dlogit = e * ge                      # [1, BNB]
+            dgdelta = e * g_gd                   # [4, BNB]
+            dmdelta = e * g_ta                   # [7, BNB]
+            dmr = e * g_tr                       # [3, BNB]
+            dmsg = g_msg                         # [M, BNB] (plain sum)
+
+            # ---- translation head -------------------------------------
+            dmtr = jnp.sum(dmr * (t_i - t_j), axis=0, keepdims=True)
+            dti = dti + dmr * r_["mtr"]
+            dtj_np = -dmr * r_["mtr"]
+            dtr_hid = w["wl2"].T * dmtr          # [T,1] * [1,BNB]
+            dtr_pre = jnp.where(r_["tr_pre"] > 0.0, dtr_hid, 0.0)
+            dw["wl2"] += _mmL(dmtr, r_["tr_hid"])
+            dw["bl2"] += jnp.sum(dmtr, axis=1, keepdims=True)
+            dw["wl1"] += _mmL(dtr_pre, r_["msg"])
+            dw["bl1"] += jnp.sum(dtr_pre, axis=1, keepdims=True)
+            dmsg = dmsg + _mm0(w["wl1"], dtr_pre)
+
+            # ---- torsion head ------------------------------------------
+            dhid_t = _mm0(w["wt2"], dmdelta)
+            dtor_pre = jnp.where(r_["tor_pre"] > 0.0, dhid_t, 0.0)
+            dw["wt2"] += _mmL(dmdelta, r_["hid_t"])
+            dw["bt2"] += jnp.sum(dmdelta, axis=1, keepdims=True)
+            dw["wtm"] += _mmL(dtor_pre, r_["msg"])
+            dw["bt1"] += jnp.sum(dtor_pre, axis=1, keepdims=True)
+            dmsg = dmsg + _mm0(w["wtm"], dtor_pre)
+            dtor_node = dtor_node + dtor_pre
+
+            # ---- rotation head -----------------------------------------
+            # gdelta = q_j (x) u, u = ld (x) inv_qj   (bilinear adjoints:
+            # d a = g (x) conj(b), d b = conj(a) (x) g)
+            dqj_q = _qmul_rows(dgdelta, _qconj(u_q))
+            du = _qmul_rows(_qconj(q_j), dgdelta)
+            dld = _qmul_rows(du, _qconj(inv_qj))
+            dinv = _qmul_rows(_qconj(ld), du)
+            dz = dld * ld * (1.0 - ld)
+            dhid_r = _mm0(w["wr2"], dz)
+            drot_pre = jnp.where(r_["rot_pre"] > 0.0, dhid_r, 0.0)
+            dw["wr2"] += _mmL(dz, r_["hid_r"])
+            dw["br2"] += jnp.sum(dz, axis=1, keepdims=True)
+            dw["wrm"] += _mmL(drot_pre, r_["msg"])
+            dw["wrq"] += _mmL(drot_pre, r_["local_q"])
+            dw["br1"] += jnp.sum(drot_pre, axis=1, keepdims=True)
+            dmsg = dmsg + _mm0(w["wrm"], drot_pre)
+            dlocal = _mm0(w["wrq"], drot_pre)    # [4, BNB]
+            # local_q = inv_qj (x) v, v = q_i (x) q_j
+            dinv = dinv + _qmul_rows(dlocal, _qconj(v))
+            dv = _qmul_rows(_qconj(inv_qj), dlocal)
+            dqi = dqi + _qmul_rows(dv, _qconj(q_j))
+            dqj_q = dqj_q + _qmul_rows(_qconj(q_i), dv)
+            # inv_qj = conj(q_j) / |q_j|^2
+            dconj = dinv / r_["sq"]
+            dqj_q = dqj_q + _qconj(dconj)
+            # divide by sq TWICE rather than by sq**2: the padding guard
+            # sq=1e-30 would underflow to 0 when squared in f32 (0/0=NaN)
+            ds = -jnp.sum(dinv * _qconj(q_j) / r_["sq"], axis=0,
+                          keepdims=True) / r_["sq"]
+            dqj_q = dqj_q + 2.0 * q_j * ds
+
+            # ---- attention head ----------------------------------------
+            dhid_a = w["wa2"].T * dlogit         # [T,1] * [1,BNB]
+            datt_pre = jnp.where(r_["att_pre"] > 0.0, dhid_a, 0.0)
+            dw["wa2"] += _mmL(dlogit, r_["hid_a"])
+            dw["ba2"] += jnp.sum(dlogit, axis=1, keepdims=True)
+            dw["wam"] += _mmL(datt_pre, r_["msg"])
+            dw["ba1"] += jnp.sum(datt_pre, axis=1, keepdims=True)
+            dw["wad"] += jnp.sum(datt_pre * (-r_["d2"]), axis=1, keepdims=True)
+            dw["waq"] += jnp.sum(datt_pre * jnp.square(r_["qdot"]), axis=1,
+                                 keepdims=True)
+            dmsg = dmsg + _mm0(w["wam"], datt_pre)
+            dd2 = -jnp.sum(w["wad"] * datt_pre, axis=0, keepdims=True)
+            dqdot = 2.0 * r_["qdot"] * jnp.sum(w["waq"] * datt_pre, axis=0,
+                                               keepdims=True)
+            dti = dti + 2.0 * dd2 * (t_i - t_j)
+            dtj_np = dtj_np - 2.0 * dd2 * (t_i - t_j)
+            dqi = dqi + dqdot * q_j
+            dqj_q = dqj_q + dqdot * q_i
+
+            # ---- message MLP --------------------------------------------
+            dhid_m = _mm0(w["wm2"], dmsg)
+            dpre = jnp.where(r_["pre"] > 0.0, dhid_m, 0.0)
+            dw["wm2"] += _mmL(dmsg, r_["hid_m"])
+            dw["bm2"] += jnp.sum(dmsg, axis=1, keepdims=True)
+            dai = dai + dpre
+
+            # neighbour-side outputs: collapse query tiles; daj/dqj/dtj
+            # ACCUMULATE across grid cells (shared blocks, zeroed at the
+            # first cell); dedge's block is cell-exclusive and each np is
+            # visited once, so it's a plain write
+            daj_ref[np_i] = daj_ref[np_i] + collapse(dpre)
+            dqj_ref[np_i] = dqj_ref[np_i] + collapse(dqj_q)
+            dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj_np)
+            # edge grad: transpose of edge_exp = edge^T S -> dE = S dpre^T
+            dedge_ref[np_i] = lax.dot_general(
+                s_mat, dpre, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )  # [k, T]
+
+            return (dai, dtor_node, dqi, dti, dw)
+
+        M = w["wm2"].shape[0]
+        dw0 = {n: jnp.zeros(w[n].shape, F32) for n in _LOOP_W}
+        init = (
+            jnp.zeros((w["wm2"].shape[1], BNB), F32),  # da_i [T, BNB]
+            jnp.zeros((w["wm2"].shape[1], BNB), F32),  # dtor_node [T, BNB]
+            jnp.zeros((4, BNB), F32),
+            jnp.zeros((3, BNB), F32),
+            dw0,
+        )
+        u_ = unroll if NP % unroll == 0 else 1
+
+        def body(step, carry):
+            for j in range(u_):
+                carry = one(step * u_ + j, carry)
+            return carry
+
+        dai, dtor_node, dqi, dti, dw = lax.fori_loop(0, NP // u_, body, init)
+        dai_ref[:] = dai
+        dtor_ref[:] = dtor_node
+        dqi_ref[:] = dqi
+        dti_ref[:] = dti
+        for n in _LOOP_W:
+            dw_refs[n][:] += dw[n]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP over the neighbour loop
+# ---------------------------------------------------------------------------
+
+
+def _cell_geometry(B, N, lane_block):
+    if N % 16 == 0 and 16 * B <= max(lane_block, 2048):
+        k = 16
+    elif N % 8 == 0:
+        k = 8
+    else:
+        raise ValueError(f"peptide maxlen {N} must be a multiple of 8")
+    sub = 128 // min(k, 128)
+    Bp = -(-B // sub) * sub
+    return k, Bp, k * Bp, N // k
+
+
+@functools.lru_cache(maxsize=None)
+def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
+             bf16: bool, unroll: int, interpret: bool):
+    """Build the custom-VJP neighbour loop for one static geometry."""
+    BNB = k * Bp
+    grid = (NP and ( -(-1) ),)  # placeholder, overwritten below
+    del grid
+
+    lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    res3 = lambda c, w_: pl.BlockSpec((NP, c, w_), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    cellmask = pl.BlockSpec((NP, 1, BNB), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    celledge = pl.BlockSpec((NP, k, T), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    w_shapes = {
+        "wm2": (M, T), "bm2": (M, 1),
+        "wam": (T, M), "wad": (T, 1), "waq": (T, 1), "ba1": (T, 1),
+        "wa2": (1, T), "ba2": (1, 1),
+        "wl1": (T, M), "bl1": (T, 1), "wl2": (1, T), "bl2": (1, 1),
+        "wrm": (T, M), "wrq": (T, 4), "br1": (T, 1), "wr2": (4, T),
+        "br2": (4, 1),
+        "wtm": (T, M), "bt1": (T, 1), "wt2": (7, T), "bt2": (7, 1),
+    }
+
+    def n_lanes(ncells):
+        return ncells * BNB
+
+    def fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat):
+        ncells = ai.shape[-1] // BNB
+        in_specs = (
+            [lane(T), lane(T), lane(4), lane(3),
+             res3(T, Bp), res3(4, Bp), res3(3, Bp), celledge, cellmask,
+             const((k, BNB))]
+            + [const(w_shapes[n]) for n in _LOOP_W]
+        )
+        out_specs = tuple(lane(c) for c in (1, 1, 4, N_TORSIONS, 3, M, 1))
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((c, ncells * BNB), F32)
+            for c in (1, 1, 4, N_TORSIONS, 3, M, 1)
+        )
+        return pl.pallas_call(
+            _make_loop_fwd(k, bf16, unroll),
+            grid=(ncells,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat,
+          *[loop_w[n] for n in _LOOP_W])
+
+    def bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
+                 s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_msg):
+        ncells = ai.shape[-1] // BNB
+        in_specs = (
+            [lane(T), lane(T), lane(4), lane(3),
+             res3(T, Bp), res3(4, Bp), res3(3, Bp), celledge, cellmask,
+             const((k, BNB)), const((BNB, Bp)),
+             lane(1), lane(4), lane(N_TORSIONS), lane(3), lane(1), lane(M)]
+            + [const(w_shapes[n]) for n in _LOOP_W]
+        )
+        out_specs = (
+            lane(T), lane(T), lane(4), lane(3),      # dai, dtor, dqi, dti
+            res3(T, Bp), res3(4, Bp), res3(3, Bp),   # daj, dqj, dtj (accum)
+            celledge,                                # dedge
+        ) + tuple(const(w_shapes[n]) for n in _LOOP_W)
+        out_shape = (
+            jax.ShapeDtypeStruct((T, ncells * BNB), F32),
+            jax.ShapeDtypeStruct((T, ncells * BNB), F32),
+            jax.ShapeDtypeStruct((4, ncells * BNB), F32),
+            jax.ShapeDtypeStruct((3, ncells * BNB), F32),
+            jax.ShapeDtypeStruct((NP, T, Bp), F32),
+            jax.ShapeDtypeStruct((NP, 4, Bp), F32),
+            jax.ShapeDtypeStruct((NP, 3, Bp), F32),
+            jax.ShapeDtypeStruct((NP, ncells * k, T), F32),
+        ) + tuple(jax.ShapeDtypeStruct(w_shapes[n], F32) for n in _LOOP_W)
+        return pl.pallas_call(
+            _make_loop_bwd(k, bf16, unroll),
+            grid=(ncells,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat, j_mat,
+          m_fin, g_gd, g_ta, g_tr, g_d, g_msg,
+          *[loop_w[n] for n in _LOOP_W])
+
+    @jax.custom_vjp
+    def loop(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat,
+             j_mat):
+        return fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3,
+                        mask3, s_mat)
+
+    def loop_fwd(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
+                 s_mat, j_mat):
+        outs = fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3,
+                        mask3, s_mat)
+        m = outs[0]
+        res = (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
+               s_mat, j_mat, m)
+        return outs, res
+
+    def loop_bwd(res, cts):
+        (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
+         s_mat, j_mat, m) = res
+        # cotangents for (m, D, GD, TA, TR, MSG, CNT); m/CNT carry none
+        # by construction of the finalize (ratios are shift-invariant and
+        # CNT only gates a boolean)
+        _, g_d, g_gd, g_ta, g_tr, g_msg, _ = cts
+        outs = bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3,
+                        mask3, s_mat, j_mat, m, g_d, g_gd, g_ta, g_tr,
+                        g_msg)
+        dai, dtor, dqi, dti, daj, dqj, dtj, dedge = outs[:8]
+        dw = dict(zip(_LOOP_W, outs[8:]))
+        return (dw, dai, dtor, dqi, dti, daj, dqj, dtj, dedge,
+                jnp.zeros_like(mask3), jnp.zeros_like(s_mat),
+                jnp.zeros_like(j_mat))
+
+    loop.defvjp(loop_fwd, loop_bwd)
+    return loop
+
+
+def egnn_forward_pallas_lane_vjp(
+    params,
+    peptide_frames: RigidArray,
+    peptide_torsions: jnp.ndarray,
+    peptide_features: jnp.ndarray,
+    edge_pre: jnp.ndarray,
+    peptide_mask: jnp.ndarray,
+    pocket_features: jnp.ndarray,
+    pocket_frames: RigidArray,
+    pocket_mask: jnp.ndarray,
+    lane_block: int = 1024,
+    interpret: bool = False,
+    bf16: bool = False,
+    unroll: int = 4,
+) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
+    """Differentiable drop-in for ``egnn_forward``: Pallas neighbour loop
+    (fwd + hand-written bwd) between autodiffed XLA pre/post stages."""
+    B, N = peptide_mask.shape
+    P = pocket_mask.shape[-1]
+    NP = N + P
+    H = peptide_features.shape[-1]
+    T = params["message"]["lin1"]["b"].shape[0]
+    M = params["message"]["lin2"]["b"].shape[0]
+    k, Bp, BNB, ncells = _cell_geometry(B, N, lane_block)
+
+    def node_t(x):
+        x = x.reshape(B, N, -1)
+        if Bp != B:
+            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        return jnp.transpose(x, (2, 1, 0)).reshape(-1, N * Bp)
+
+    def node_back(x):
+        return jnp.transpose(x.reshape(-1, N, Bp), (2, 1, 0))[:B]
+
+    def nbr_t(x):
+        if Bp != B:
+            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        return jnp.transpose(x, (1, 2, 0))
+
+    pep_mask = peptide_mask.astype(F32)
+    pk_mask = pocket_mask.astype(F32)
+    not_self = 1.0 - jnp.eye(N, dtype=F32)
+    msg_mask = jnp.concatenate(
+        (pep_mask[:, :, None] * pep_mask[:, None, :] * not_self,
+         pep_mask[:, :, None] * pk_mask[:, None, :]), axis=-1)
+    if Bp != B:
+        msg_mask = jnp.pad(msg_mask, ((0, Bp - B), (0, 0), (0, 0)))
+    mask3 = jnp.transpose(msg_mask, (2, 1, 0)).reshape(NP, 1, N * Bp)
+
+    h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
+    q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
+    t_all = jnp.concatenate((peptide_frames.trans, pocket_frames.trans), axis=-2)
+
+    w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)
+    b1m = jnp.asarray(params["message"]["lin1"]["b"], F32)
+    w1t = jnp.asarray(params["torsion"]["lin1"]["w"], F32)
+
+    # XLA pre-projections (autodiffed)
+    a_i = peptide_features @ w1m[:H] + b1m              # [B, N, T]
+    a_j = jnp.einsum("bph,ht->bpt", h_all, w1m[H:2 * H],
+                     precision=lax.Precision.HIGHEST)
+    tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
+    tor_node = tors_flat @ w1t[M:]                       # [B, N, T]
+    edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))
+    edge3 = jnp.transpose(edge_full, (1, 0, 2))          # [NP, N, T]
+
+    s_mat = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, BNB), 1) // Bp
+        == jax.lax.broadcasted_iota(jnp.int32, (k, BNB), 0)
+    ).astype(F32)
+    j_mat = (
+        jax.lax.broadcasted_iota(jnp.int32, (BNB, Bp), 0) % Bp
+        == jax.lax.broadcasted_iota(jnp.int32, (BNB, Bp), 1)
+    ).astype(F32)
+
+    w1a = jnp.asarray(params["attention"]["lin1"]["w"], F32)
+    w1r = jnp.asarray(params["rotation"]["lin1"]["w"], F32)
+    col = lambda w: jnp.asarray(w, F32).T
+    bias = lambda b: jnp.asarray(b, F32).reshape(-1, 1)
+    loop_w = {
+        "wm2": col(params["message"]["lin2"]["w"]),
+        "bm2": bias(params["message"]["lin2"]["b"]),
+        "wam": col(w1a[:M]), "wad": w1a[M].reshape(-1, 1),
+        "waq": w1a[M + 1].reshape(-1, 1),
+        "ba1": bias(params["attention"]["lin1"]["b"]),
+        "wa2": col(params["attention"]["lin2"]["w"]),
+        "ba2": bias(params["attention"]["lin2"]["b"]),
+        "wl1": col(params["translation"]["lin1"]["w"]),
+        "bl1": bias(params["translation"]["lin1"]["b"]),
+        "wl2": col(params["translation"]["lin2"]["w"]),
+        "bl2": bias(params["translation"]["lin2"]["b"]),
+        "wrm": col(w1r[:M]), "wrq": col(w1r[M:]),
+        "br1": bias(params["rotation"]["lin1"]["b"]),
+        "wr2": col(params["rotation"]["lin2"]["w"]),
+        "br2": bias(params["rotation"]["lin2"]["b"]),
+        "wtm": col(w1t[:M]),
+        "bt1": bias(params["torsion"]["lin1"]["b"]),
+        "wt2": col(params["torsion"]["lin2"]["w"]),
+        "bt2": bias(params["torsion"]["lin2"]["b"]),
+    }
+
+    loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret)
+    m, D, GD, TA, TR, MSG, CNT = loop(
+        loop_w, node_t(a_i), node_t(tor_node),
+        node_t(peptide_frames.quats), node_t(peptide_frames.trans),
+        nbr_t(a_j), nbr_t(q_all), nbr_t(t_all), edge3, mask3, s_mat, j_mat,
+    )
+
+    # XLA finalize (autodiffed); back in [B, N, C] layout
+    D_b = node_back(D)            # [B, N, 1]
+    inv_d = 1.0 / D_b
+    msg_sum = node_back(MSG)      # [B, N, M]
+    gd = node_back(GD) * inv_d
+    has_nb = node_back(CNT)[..., 0] > 0.0
+    identity_q = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=gd.dtype)
+    gd = jnp.where(has_nb[..., None], gd, identity_q)
+    gd = torch_normalize(gd)
+    upd_q = quat_multiply(gd, peptide_frames.quats)
+
+    fp = params["feature"]
+    from pmhc_tpu.models import nn as _nn
+
+    prec = None if bf16 else lax.Precision.HIGHEST
+    feat_pre = (
+        _nn.linear_block(fp["lin1"], peptide_features, 0, H, prec)
+        + _nn.linear_block(fp["lin1"], msg_sum, H, M, prec)
+        + fp["lin1"]["b"]
+    )
+    node_out = _nn.mlp_hidden(fp, feat_pre, precision=prec)
+
+    delta_a = node_back(TA) * inv_d
+    delta_t = jnp.stack((jnp.sin(delta_a), jnp.cos(delta_a)), axis=-1)
+    upd_torsions = multiply_sin_cos(delta_t, peptide_torsions)
+
+    upd_x = peptide_frames.trans + node_back(TR) * inv_d
+    return RigidArray(torch_normalize(upd_q), upd_x), upd_torsions, node_out
