@@ -577,8 +577,46 @@ def egnn_forward_pallas_lane_vjp(
     unroll: int = 4,
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
     """Differentiable drop-in for ``egnn_forward``: Pallas neighbour loop
-    (fwd + hand-written bwd) between autodiffed XLA pre/post stages."""
+    (fwd + hand-written bwd) between autodiffed XLA pre/post stages.
+
+    Large batches are processed in chunks of 256 via ``lax.map``: the
+    BACKWARD kernel keeps ~20 [T, k*B] temporaries live per cell, so
+    k=8 x B=1024 lanes (the k>=8 Mosaic sublane-block constraint fixes
+    the lower bound) needs ~330 MB of VMEM — chunking keeps every call in
+    the measured <=2048-lane regime, and autodiff sums the per-chunk
+    weight gradients for free."""
     B, N = peptide_mask.shape
+    # 128 keeps the XLA fusion AROUND the pallas calls inside the 16 MB
+    # scoped-vmem limit at f32 (256-batch chunks = 4096-lane carries
+    # measured 19.15M scoped); the kernels themselves are VMEM-capped
+    # separately via CompilerParams
+    CHUNK = 128
+    if B > CHUNK:
+        pad = (-B) % CHUNK
+        def padb(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+        stack = lambda x: padb(x).reshape((B + pad) // CHUNK, CHUNK, *x.shape[1:])
+        chunked = (
+            stack(peptide_frames.quats), stack(peptide_frames.trans),
+            stack(peptide_torsions), stack(peptide_features),
+            stack(peptide_mask), stack(pocket_features),
+            stack(pocket_frames.quats), stack(pocket_frames.trans),
+            stack(pocket_mask),
+        )
+
+        def one(chunk):
+            fq, ft, tors, feats, pm, pkf, pkq, pkt, pkm = chunk
+            fr, tr, hh = egnn_forward_pallas_lane_vjp(
+                params, RigidArray(fq, ft), tors, feats, edge_pre, pm,
+                pkf, RigidArray(pkq, pkt), pkm, lane_block=lane_block,
+                interpret=interpret, bf16=bf16, unroll=unroll,
+            )
+            return fr.quats, fr.trans, tr, hh
+
+        oq, ot, otr, ohh = lax.map(one, chunked)
+        merge = lambda x: x.reshape(-1, *x.shape[2:])[:B]
+        return (RigidArray(merge(oq), merge(ot)), merge(otr), merge(ohh))
     P = pocket_mask.shape[-1]
     NP = N + P
     H = peptide_features.shape[-1]

@@ -128,3 +128,36 @@ def test_train_step_pallas_lane_matches_xla():
         np.testing.assert_allclose(
             b, a, atol=max(2e-4 * float(np.abs(a).max()), 2e-5),
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_vjp_layer_chunked_large_batch():
+    """Batches > 256 go through the lax.map chunking path (incl. padding
+    when not divisible): forward matches dense and weight grads sum
+    correctly across chunks."""
+    params, args = _layer_inputs(batch_size=300)
+    dense_f, dense_t, dense_h = egnn_forward(params, *args)
+    lane_f, lane_t, lane_h = egnn_forward_pallas_lane_vjp(
+        params, *args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(lane_f.trans), np.asarray(dense_f.trans), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lane_h), np.asarray(dense_h), atol=2e-4)
+
+    def loss(fn):
+        def f(p):
+            fr, tr, hh = fn(p, *args)
+            return jnp.mean(fr.trans ** 2) + jnp.mean(tr) + jnp.mean(hh)
+        return f
+
+    g_dense = jax.grad(loss(egnn_forward))(params)
+    g_lane = jax.grad(loss(
+        lambda p, *a: egnn_forward_pallas_lane_vjp(p, *a, interpret=True)
+    ))(params)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_dense)[0],
+        jax.tree_util.tree_leaves(g_lane),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=max(3e-4 * float(np.abs(a).max()), 1e-7),
+            err_msg=jax.tree_util.keystr(path))
