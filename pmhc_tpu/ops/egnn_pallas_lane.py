@@ -112,14 +112,15 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
         wmi_ref,      # [T, H]   message W1 rows for h_i
         bm1_ref,      # [T, 1]
         wm2_ref, bm2_ref,          # [M, T], [M, 1]
-        wam_ref, wad_ref, waq_ref, ba1_ref,  # [T, M], [T, 1], [T, 1], [T, 1]
+        wheads_ref,   # [4T, M]  fused [att; rot; tor; transl] lin1 over msg
+        wad_ref, waq_ref, ba1_ref,  # [T, 1], [T, 1], [T, 1]
         wa2_ref, ba2_ref,          # [1, T], [1, 1]
         wfh_ref, wfm_ref, bf1_ref,  # [T, H], [T, M], [T, 1]
         wf2_ref, bf2_ref,          # [O, T], [O, 1]
-        wl1_ref, bl1_ref, wl2_ref, bl2_ref,  # [T, M], [T, 1], [1, T], [1, 1]
-        wrm_ref, wrq_ref, br1_ref,  # [T, M], [T, 4], [T, 1]
+        bl1_ref, wl2_ref, bl2_ref,  # [T, 1], [1, T], [1, 1]
+        wrq_ref, br1_ref,           # [T, 4], [T, 1]
         wr2_ref, br2_ref,          # [4, T], [4, 1]
-        wtm_ref, wtt_ref, bt1_ref,  # [T, M], [T, 14], [T, 1]
+        wtt_ref, bt1_ref,           # [T, 14], [T, 1]
         wt2_ref, bt2_ref,          # [7, T], [7, 1]
         # outputs
         out_q_ref,    # [4, BNB]
@@ -168,8 +169,10 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
             qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
             qdot2 = jnp.square(qdot)
 
+            T = wheads_ref.shape[0] // 4
+            heads = _mm(wheads_ref[:], msg)  # [4T, BNB]
             att_pre = (
-                _mm(wam_ref[:], msg)
+                heads[0:T]
                 + wad_ref[:] * (-d2)               # [T,1] * [1,BNB]
                 + waq_ref[:] * qdot2
                 + ba1_ref[:]
@@ -181,7 +184,7 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
             conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
             inv_qj = conj_qj / jnp.sum(q_j * q_j, axis=0, keepdims=True)
             local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
-            rot_pre = _mm(wrm_ref[:], msg) + _mm(wrq_ref[:], local_q) + br1_ref[:]
+            rot_pre = heads[T:2 * T] + _mm(wrq_ref[:], local_q) + br1_ref[:]
             # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)
             local_delta = jax.nn.sigmoid(
                 _mm(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
@@ -189,11 +192,11 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
             gdelta = _qmul_rows(q_j, _qmul_rows(local_delta, inv_qj))
 
             # torsion
-            tor_pre = _mm(wtm_ref[:], msg) + tor_node + bt1_ref[:]
+            tor_pre = heads[2 * T:3 * T] + tor_node + bt1_ref[:]
             mdelta = _mm(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]  # [7, BNB]
 
             # translation
-            tr_hid = jnp.maximum(_mm(wl1_ref[:], msg) + bl1_ref[:], 0.0)
+            tr_hid = jnp.maximum(heads[3 * T:] + bl1_ref[:], 0.0)
             mtr = _mm(wl2_ref[:], tr_hid) + bl2_ref[:]  # [1, BNB]
             mr = mtr * (t_i - t_j)                       # [3, BNB]
 
@@ -370,16 +373,19 @@ def egnn_forward_pallas_lane(
         col(w1m[:H]),                                     # wmi [T, H]
         bias(p["message"]["lin1"]["b"]),
         col(p["message"]["lin2"]["w"]), bias(p["message"]["lin2"]["b"]),
-        col(w1a[:M]), w1a[M].reshape(-1, 1), w1a[M + 1].reshape(-1, 1),
+        # fused [att; rot; tor; transl] head lin1 rows over msg
+        jnp.concatenate((col(w1a[:M]), col(w1r[:M]), col(w1t[:M]),
+                         col(p["translation"]["lin1"]["w"])), axis=0),
+        w1a[M].reshape(-1, 1), w1a[M + 1].reshape(-1, 1),
         bias(p["attention"]["lin1"]["b"]),
         col(p["attention"]["lin2"]["w"]), bias(p["attention"]["lin2"]["b"]),
         col(w1f[:H]), col(w1f[H:]), bias(p["feature"]["lin1"]["b"]),
         col(p["feature"]["lin2"]["w"]), bias(p["feature"]["lin2"]["b"]),
-        col(p["translation"]["lin1"]["w"]), bias(p["translation"]["lin1"]["b"]),
+        bias(p["translation"]["lin1"]["b"]),
         col(p["translation"]["lin2"]["w"]), bias(p["translation"]["lin2"]["b"]),
-        col(w1r[:M]), col(w1r[M:]), bias(p["rotation"]["lin1"]["b"]),
+        col(w1r[M:]), bias(p["rotation"]["lin1"]["b"]),
         col(p["rotation"]["lin2"]["w"]), bias(p["rotation"]["lin2"]["b"]),
-        col(w1t[:M]), col(w1t[M:]), bias(p["torsion"]["lin1"]["b"]),
+        col(w1t[M:]), bias(p["torsion"]["lin1"]["b"]),
         col(p["torsion"]["lin2"]["w"]), bias(p["torsion"]["lin2"]["b"]),
     ]
 

@@ -50,9 +50,12 @@ INFINITY = 1e9
 F32 = jnp.float32
 
 # loop-weight pytree order (everything the neighbour loop consumes)
-_LOOP_W = ("wm2", "bm2", "wam", "wad", "waq", "ba1", "wa2", "ba2",
-           "wl1", "bl1", "wl2", "bl2", "wrm", "wrq", "br1", "wr2", "br2",
-           "wtm", "bt1", "wt2", "bt2")
+# "wheads" fuses the four msg-consuming head lin1 matrices
+# [wam; wrm; wtm; wl1] into one [4T, M] block: one MXU op per neighbour
+# instead of four (and one fused dW / dmsg matmul in the backward)
+_LOOP_W = ("wm2", "bm2", "wheads", "wad", "waq", "ba1", "wa2", "ba2",
+           "bl1", "wl2", "bl2", "wrq", "br1", "wr2", "br2",
+           "bt1", "wt2", "bt2")
 
 
 def _qconj(q):
@@ -110,7 +113,9 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
 
     d2 = jnp.sum(jnp.square(t_i - t_j), axis=0, keepdims=True)
     qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
-    att_pre = (_mm(w["wam"], msg) + w["wad"] * (-d2)
+    T = w["wheads"].shape[0] // 4
+    heads = _mm(w["wheads"], msg)  # [4T, BNB]: att | rot | tor | transl
+    att_pre = (heads[0:T] + w["wad"] * (-d2)
                + w["waq"] * jnp.square(qdot) + w["ba1"])
     hid_a = jnp.maximum(att_pre, 0.0)
     logit = _mm(w["wa2"], hid_a) + w["ba2"] - (1.0 - mask) * INFINITY
@@ -123,17 +128,17 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     inv_qj = _qconj(q_j) / sq
     v = _qmul_rows(q_i, q_j)
     local_q = _qmul_rows(inv_qj, v)
-    rot_pre = _mm(w["wrm"], msg) + _mm(w["wrq"], local_q) + w["br1"]
+    rot_pre = heads[T:2 * T] + _mm(w["wrq"], local_q) + w["br1"]
     hid_r = jnp.maximum(rot_pre, 0.0)
     ld = jax.nn.sigmoid(_mm(w["wr2"], hid_r) + w["br2"])
     u = _qmul_rows(ld, inv_qj)
     gdelta = _qmul_rows(q_j, u)
 
-    tor_pre = _mm(w["wtm"], msg) + tor_node + w["bt1"]
+    tor_pre = heads[2 * T:3 * T] + tor_node + w["bt1"]
     hid_t = jnp.maximum(tor_pre, 0.0)
     mdelta = _mm(w["wt2"], hid_t) + w["bt2"]
 
-    tr_pre = _mm(w["wl1"], msg) + w["bl1"]
+    tr_pre = heads[3 * T:] + w["bl1"]
     tr_hid = jnp.maximum(tr_pre, 0.0)
     mtr = _mm(w["wl2"], tr_hid) + w["bl2"]
     mr = mtr * (t_i - t_j)
@@ -300,18 +305,14 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
             dtr_pre = jnp.where(r_["tr_pre"] > 0.0, dtr_hid, 0.0)
             dw["wl2"] += _mmL(dmtr, r_["tr_hid"])
             dw["bl2"] += jnp.sum(dmtr, axis=1, keepdims=True)
-            dw["wl1"] += _mmL(dtr_pre, r_["msg"])
             dw["bl1"] += jnp.sum(dtr_pre, axis=1, keepdims=True)
-            dmsg = dmsg + _mm0(w["wl1"], dtr_pre)
 
             # ---- torsion head ------------------------------------------
             dhid_t = _mm0(w["wt2"], dmdelta)
             dtor_pre = jnp.where(r_["tor_pre"] > 0.0, dhid_t, 0.0)
             dw["wt2"] += _mmL(dmdelta, r_["hid_t"])
             dw["bt2"] += jnp.sum(dmdelta, axis=1, keepdims=True)
-            dw["wtm"] += _mmL(dtor_pre, r_["msg"])
             dw["bt1"] += jnp.sum(dtor_pre, axis=1, keepdims=True)
-            dmsg = dmsg + _mm0(w["wtm"], dtor_pre)
             dtor_node = dtor_node + dtor_pre
 
             # ---- rotation head -----------------------------------------
@@ -326,10 +327,8 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
             drot_pre = jnp.where(r_["rot_pre"] > 0.0, dhid_r, 0.0)
             dw["wr2"] += _mmL(dz, r_["hid_r"])
             dw["br2"] += jnp.sum(dz, axis=1, keepdims=True)
-            dw["wrm"] += _mmL(drot_pre, r_["msg"])
             dw["wrq"] += _mmL(drot_pre, r_["local_q"])
             dw["br1"] += jnp.sum(drot_pre, axis=1, keepdims=True)
-            dmsg = dmsg + _mm0(w["wrm"], drot_pre)
             dlocal = _mm0(w["wrq"], drot_pre)    # [4, BNB]
             # local_q = inv_qj (x) v, v = q_i (x) q_j
             dinv = dinv + _qmul_rows(dlocal, _qconj(v))
@@ -350,12 +349,15 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
             datt_pre = jnp.where(r_["att_pre"] > 0.0, dhid_a, 0.0)
             dw["wa2"] += _mmL(dlogit, r_["hid_a"])
             dw["ba2"] += jnp.sum(dlogit, axis=1, keepdims=True)
-            dw["wam"] += _mmL(datt_pre, r_["msg"])
             dw["ba1"] += jnp.sum(datt_pre, axis=1, keepdims=True)
             dw["wad"] += jnp.sum(datt_pre * (-r_["d2"]), axis=1, keepdims=True)
             dw["waq"] += jnp.sum(datt_pre * jnp.square(r_["qdot"]), axis=1,
                                  keepdims=True)
-            dmsg = dmsg + _mm0(w["wam"], datt_pre)
+            # fused heads backward: one dW outer product + one dmsg matmul
+            dpre_cat = jnp.concatenate(
+                (datt_pre, drot_pre, dtor_pre, dtr_pre), axis=0)  # [4T, BNB]
+            dw["wheads"] += _mmL(dpre_cat, r_["msg"])
+            dmsg = dmsg + _mm0(w["wheads"], dpre_cat)
             dd2 = -jnp.sum(w["wad"] * datt_pre, axis=0, keepdims=True)
             dqdot = 2.0 * r_["qdot"] * jnp.sum(w["waq"] * datt_pre, axis=0,
                                                keepdims=True)
@@ -452,12 +454,12 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
 
     w_shapes = {
         "wm2": (M, T), "bm2": (M, 1),
-        "wam": (T, M), "wad": (T, 1), "waq": (T, 1), "ba1": (T, 1),
+        "wheads": (4 * T, M),
+        "wad": (T, 1), "waq": (T, 1), "ba1": (T, 1),
         "wa2": (1, T), "ba2": (1, 1),
-        "wl1": (T, M), "bl1": (T, 1), "wl2": (1, T), "bl2": (1, 1),
-        "wrm": (T, M), "wrq": (T, 4), "br1": (T, 1), "wr2": (4, T),
-        "br2": (4, 1),
-        "wtm": (T, M), "bt1": (T, 1), "wt2": (7, T), "bt2": (7, 1),
+        "bl1": (T, 1), "wl2": (1, T), "bl2": (1, 1),
+        "wrq": (T, 4), "br1": (T, 1), "wr2": (4, T), "br2": (4, 1),
+        "bt1": (T, 1), "wt2": (7, T), "bt2": (7, 1),
     }
 
     def n_lanes(ncells):
@@ -681,20 +683,24 @@ def egnn_forward_pallas_lane_vjp(
     loop_w = {
         "wm2": col(params["message"]["lin2"]["w"]),
         "bm2": bias(params["message"]["lin2"]["b"]),
-        "wam": col(w1a[:M]), "wad": w1a[M].reshape(-1, 1),
+        # [att; rot; tor; transl] head lin1 rows over msg, fused — the
+        # concat is differentiable, so autodiff splits dwheads back onto
+        # the four underlying parameter matrices
+        "wheads": jnp.concatenate(
+            (col(w1a[:M]), col(w1r[:M]), col(w1t[:M]),
+             col(params["translation"]["lin1"]["w"])), axis=0),
+        "wad": w1a[M].reshape(-1, 1),
         "waq": w1a[M + 1].reshape(-1, 1),
         "ba1": bias(params["attention"]["lin1"]["b"]),
         "wa2": col(params["attention"]["lin2"]["w"]),
         "ba2": bias(params["attention"]["lin2"]["b"]),
-        "wl1": col(params["translation"]["lin1"]["w"]),
         "bl1": bias(params["translation"]["lin1"]["b"]),
         "wl2": col(params["translation"]["lin2"]["w"]),
         "bl2": bias(params["translation"]["lin2"]["b"]),
-        "wrm": col(w1r[:M]), "wrq": col(w1r[M:]),
+        "wrq": col(w1r[M:]),
         "br1": bias(params["rotation"]["lin1"]["b"]),
         "wr2": col(params["rotation"]["lin2"]["w"]),
         "br2": bias(params["rotation"]["lin2"]["b"]),
-        "wtm": col(w1t[:M]),
         "bt1": bias(params["torsion"]["lin1"]["b"]),
         "wt2": col(params["torsion"]["lin2"]["w"]),
         "bt2": bias(params["torsion"]["lin2"]["b"]),
