@@ -182,9 +182,18 @@ def bench_sampler() -> float:
     def build(backend):
         mc = ScoreNetworkConfig(noise_step_count=1000, backend=backend)
         params = init_score_network(jax.random.key(0), mc)
-        return params, jax.jit(
-            lambda p, b, k: sample(p, b, k, dc, mc, precision=DEFAULT_PRECISION)
-        )
+        if backend == "pallas_lane":
+            # lane-layout scan: carry stays in kernel layout all T steps
+            from pmhc_tpu.diffusion.sampler_lane import sample_lane
+
+            fn = lambda p, b, k: sample_lane(
+                p, b, k, dc, mc, precision=DEFAULT_PRECISION
+            )
+        else:
+            fn = lambda p, b, k: sample(
+                p, b, k, dc, mc, precision=DEFAULT_PRECISION
+            )
+        return params, jax.jit(fn)
 
     try:
         params, run = build("pallas_lane")

@@ -34,11 +34,15 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--output-dir", default=None,
                    help="override the default <stem>-sampled output directory")
     p.add_argument("--backend", default="xla",
-                   choices=("xla", "pallas", "blockwise", "cp", "ring"),
+                   choices=("xla", "pallas", "pallas_lane", "blockwise",
+                            "cp", "ring"),
                    help="EGNN layer implementation: XLA block-matmuls, the "
-                        "fused Pallas TPU kernel, online-softmax neighbour "
-                        "streaming, or context parallelism (cp/ring shard "
-                        "the neighbour axis over --mesh-context devices)")
+                        "fused Pallas TPU kernels (pallas_lane = the "
+                        "lane-packed winner; the sampler scan then stays "
+                        "in kernel layout end-to-end), online-softmax "
+                        "neighbour streaming, or context parallelism "
+                        "(cp/ring shard the neighbour axis over "
+                        "--mesh-context devices)")
     p.add_argument("--mesh-context", type=int, default=1,
                    help="devices on the context-parallel axis (the rest go "
                         "to the data axis); selects backend 'cp' unless "
@@ -115,6 +119,17 @@ def main(argv=None) -> None:
             return sample_sharded(
                 params, batch, key, diffusion_config, model_config, mesh,
                 tables, precision=precision,
+            )
+    elif backend == "pallas_lane":
+        # lane-layout sampler: the scan carry stays in the fused kernel's
+        # lane layout for all T steps (no per-step transposes)
+        from pmhc_tpu.diffusion.sampler_lane import sample_lane
+
+        @jax.jit
+        def run_sample(batch, key):
+            return sample_lane(
+                params, batch, key, diffusion_config, model_config, tables,
+                precision=precision,
             )
     else:
         @jax.jit

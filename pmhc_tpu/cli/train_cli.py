@@ -68,9 +68,12 @@ def build_parser() -> ArgumentParser:
                         "dispatch (amortizes host->TPU latency; identical "
                         "math to sequential steps)")
     p.add_argument("--backend", default="xla",
-                   choices=("xla", "pallas", "blockwise", "cp", "ring"),
-                   help="EGNN layer implementation (the pallas kernel trains "
-                        "via its custom VJP: Pallas forward, XLA-remat "
+                   choices=("xla", "pallas", "pallas_lane", "blockwise",
+                            "cp", "ring"),
+                   help="EGNN layer implementation (pallas_lane is the "
+                        "lane-packed fused kernel with a hand-written "
+                        "Pallas backward — the fastest trainer on TPU; "
+                        "pallas trains via Pallas forward + XLA-remat "
                         "backward; blockwise streams neighbour blocks with "
                         "an online softmax; cp/ring shard the neighbour "
                         "axis over --mesh-context devices)")

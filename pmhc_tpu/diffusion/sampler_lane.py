@@ -1,0 +1,363 @@
+"""Reverse-diffusion sampler that never leaves the kernel's lane layout.
+
+The generic ``sampler.sample`` with ``backend="pallas_lane"`` re-enters
+the fused kernel through its [B, N, C] public API every step, paying XLA
+layout transposes around each of the 2T pallas_calls (~0.1 ms/step at
+bf16, docs/status.md round-3 roadmap #1). Here the whole scan carry
+(quats, translations, torsion sin/cos) lives in the kernel's native lane
+layout ``[C, N*Bp]`` (lane = n*Bp + b, n-major):
+
+- the static context — pocket neighbour tensors, edge terms, message
+  masks, packed weights, the peptide part of the layer-1 neighbour
+  pre-activation — is transposed ONCE before the scan;
+- per step, the only layout work is the cheap sublane-dim reshape of the
+  carried peptide state into the resident neighbour view
+  ``[C, N*Bp] -> [N, C, Bp]`` and the layer-2 neighbour projection of
+  the dynamic inner features;
+- ``remove_noise`` and the per-step stochastic noise generation run
+  directly on lane arrays (component axis LEADING) — exact ports of the
+  [..., C]-trailing versions in ``noise.py`` / ``geometry/`` (reference
+  ``diffusion/optimizer.py:140-193``, ``tools/angle.py:33-186``).
+
+Semantics match ``sampler.sample`` (t runs T..1, model evaluated at t=T,
+fresh per-step noise via fold_in keys — SURVEY.md §3.5.2). Stochastic
+draws differ from the generic sampler only in shape order, so individual
+trajectories diverge between samplers (like any two backends,
+docs/status.md) while distributions agree; ``injected_noise`` bypasses
+the RNG for exact trajectory parity in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pmhc_tpu.diffusion.schedule import DiffusionConfig, ScheduleTables
+from pmhc_tpu.models import ScoreNetworkConfig
+from pmhc_tpu.models.nn import DEFAULT_PRECISION
+from pmhc_tpu.models.score import relpos_edge_pre
+from pmhc_tpu.ops.egnn_pallas_lane import (
+    egnn_lane_core,
+    lane_edge3,
+    lane_geometry,
+    lane_msg_mask,
+    lane_s_mat,
+    lane_to_node,
+    nbr_to_lane,
+    node_to_lane,
+    pack_lane_weights,
+)
+
+F32 = jnp.float32
+PI = math.pi
+_HIGHEST = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Lane-layout geometry: component axis LEADING ([C, L] instead of [..., C]).
+# Each is an exact port of the trailing-axis twin cited in its docstring.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_rows(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """torch_normalize over axis 0 (geometry/quat.py::torch_normalize)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=0, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def _qmul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product on [4, L] (geometry/quat.py::quat_multiply)."""
+    w1, x1, y1, z1 = q1[0], q1[1], q1[2], q1[3]
+    w2, x2, y2, z2 = q2[0], q2[1], q2[2], q2[3]
+    return jnp.stack(
+        (
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ),
+        axis=0,
+    )
+
+
+def _qinvert(q: jnp.ndarray) -> jnp.ndarray:
+    """Inverse = conjugate / squared norm (geometry/quat.py::quat_invert)."""
+    conj = jnp.concatenate((q[:1], -q[1:]), axis=0)
+    return conj / jnp.sum(q * q, axis=0, keepdims=True)
+
+
+def _partial_rot(q: jnp.ndarray, amount) -> jnp.ndarray:
+    """Fractional rotation on [4, L] (geometry/quat.py::partial_rot,
+    reference ``tools/angle.py:177-186``): output NOT re-normalized."""
+    q = _normalize_rows(q)
+    a2 = jnp.arccos(jnp.clip(q[:1], -1.0, 1.0))
+    axis = _normalize_rows(q[1:])
+    return jnp.concatenate(
+        (jnp.cos(a2 * amount), jnp.sin(a2 * amount) * axis), axis=0
+    )
+
+
+def _sc_multiply(s1, c1, s2, c2):
+    """Angle addition on separate sin/cos rows
+    (geometry/sincos.py::multiply_sin_cos)."""
+    return s1 * c2 + c1 * s2, c1 * c2 - s1 * s2
+
+
+def _sc_inverse(s, c):
+    """Negate angle, invert magnitude (geometry/sincos.py::inverse_sin_cos)."""
+    sqr_norm = s * s + c * c
+    return -s / sqr_norm, c / sqr_norm
+
+
+def _sc_partial(s, c, amount):
+    """Scale the angle by ``amount`` (geometry/sincos.py::partial_sin_cos)."""
+    norm = jnp.maximum(jnp.sqrt(s * s + c * c), 1e-12)
+    a = jnp.arccos(jnp.clip(c / norm, -1.0, 1.0))
+    a = jnp.where(s / norm < 0.0, -a, a)
+    return jnp.sin(a * amount), jnp.cos(a * amount)
+
+
+def _shoemake(x: jnp.ndarray) -> jnp.ndarray:
+    """Uniform unit quats from Shoemake triples [3, L] -> [4, L]
+    (geometry/quat.py::shoemake_quat, reference ``angle.py:69-98``)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    theta1 = 2.0 * PI * x[1:2]
+    theta2 = 2.0 * PI * x[2:3]
+    r1 = jnp.sqrt(1.0 - x[0:1])
+    r2 = jnp.sqrt(x[0:1])
+    return jnp.concatenate(
+        (
+            r2 * jnp.cos(theta2),
+            r1 * jnp.sin(theta1),
+            r1 * jnp.cos(theta1),
+            r2 * jnp.sin(theta2),
+        ),
+        axis=0,
+    )
+
+
+def _gen_noise_lane(key: jax.Array, L: int, config: DiffusionConfig):
+    """Lane-layout twin of ``noise.gen_noise`` (optimizer.py:93-108):
+    returns (quats [4,L], trans [3,L], tor_sin [7,L], tor_cos [7,L])."""
+    kp, kq, kt = jax.random.split(key, 3)
+    trans = jax.random.normal(kp, (3, L), F32) * config.position_noise_scale
+    quats = _shoemake(jax.random.uniform(kq, (3, L), F32))
+    a = jax.random.uniform(kt, (7, L), F32) * 2.0 * PI
+    return quats, trans, jnp.sin(a), jnp.cos(a)
+
+
+def _remove_noise_lane(state, pred, rand, t, tables: ScheduleTables):
+    """Lane-layout twin of ``noise.remove_noise`` (optimizer.py:140-193);
+    state/pred/rand are (q [4,L], t [3,L], sin [7,L], cos [7,L])."""
+    q_z, t_z, s_z, c_z = state
+    q_p, t_p, s_p, c_p = pred
+    q_r, t_r, s_r, c_r = rand
+
+    beta_t = tables.beta[t]
+    sigma_t = tables.sigma[t]
+    beta_s = tables.beta[t - 1]
+    alpha_ts = tables.alpha_ts[t]
+    sqr_sigma_ts = tables.sqr_sigma_ts[t]
+    sigma_t2s = tables.sigma_t2s[t]
+
+    # positions: posterior mean + stochastic term (optimizer.py:164-166)
+    t_out = (
+        t_z / alpha_ts - (t_p * sqr_sigma_ts) / (alpha_ts * sigma_t)
+        + sigma_t2s * t_r
+    )
+
+    # rotations (optimizer.py:173-175)
+    q_out = _qmul(
+        _partial_rot(q_r, beta_s),
+        _qmul(_qinvert(_partial_rot(q_p, beta_t)), q_z),
+    )
+
+    # torsions (optimizer.py:182-188)
+    s_pp, c_pp = _sc_partial(s_p, c_p, beta_t)
+    s_pi, c_pi = _sc_inverse(s_pp, c_pp)
+    s_mid, c_mid = _sc_multiply(s_pi, c_pi, s_z, c_z)
+    s_rp, c_rp = _sc_partial(s_r, c_r, beta_s)
+    s_out, c_out = _sc_multiply(s_rp, c_rp, s_mid, c_mid)
+
+    return q_out, t_out, s_out, c_out
+
+
+# ---------------------------------------------------------------------------
+# The sampler
+# ---------------------------------------------------------------------------
+
+
+def sample_lane(
+    params,
+    batch: Dict[str, Any],
+    key: jax.Array,
+    config: DiffusionConfig,
+    model_config: ScoreNetworkConfig,
+    tables: ScheduleTables | None = None,
+    precision=DEFAULT_PRECISION,
+    injected_noise: Dict[str, Any] | None = None,
+    interpret: bool | None = None,
+    unroll: int = 4,
+) -> Dict[str, Any]:
+    """Full reverse diffusion with the lane-packed fused kernel, scan
+    carry kept in lane layout end-to-end.
+
+    Same contract as ``sampler.sample`` (``batch`` in [B, N] layout in
+    and out); ``precision=None`` selects the kernel's bf16 MXU mode (the
+    CLI --bf16 convention). ``injected_noise`` is a Noise pytree with a
+    leading [T] axis in standard layout, transposed per step (tests)."""
+    if tables is None:
+        tables = ScheduleTables(config)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bf16 = precision is None
+    T_steps = config.noise_step_count
+
+    mask = batch["mask"]
+    B, N = mask.shape
+    P = batch["pocket_mask"].shape[-1]
+    H1 = model_config.node_feature_size          # 23
+    H2 = model_config.inner_size                 # 64
+    inv_T = 1.0 / model_config.noise_step_count
+
+    k, Bp = lane_geometry(B, N, model_config.lane_block)
+    L = N * Bp
+
+    # ---- static context, transposed once ------------------------------
+    w1 = pack_lane_weights(params["gnn1"], H1)
+    w2 = pack_lane_weights(params["gnn2"], H2)
+    edge3_1 = lane_edge3(relpos_edge_pre(params["gnn1"], N), P)
+    edge3_2 = lane_edge3(relpos_edge_pre(params["gnn2"], N), P)
+    mask_t = lane_msg_mask(mask, batch["pocket_mask"], Bp)
+    s_mat = lane_s_mat(k, Bp)
+
+    feats22 = jnp.asarray(batch["features"], F32)         # [B, N, 22]
+    feat_lane = node_to_lane(feats22, Bp)                  # [22, L]
+    pocket_h = jnp.concatenate(
+        (
+            jnp.asarray(batch["pocket_features"], F32),
+            jnp.zeros((B, P, 1), F32),
+        ),
+        axis=-1,
+    )                                                      # [B, P, 23]
+    pocket_inner = jnp.pad(pocket_h, ((0, 0), (0, 0), (0, H2 - H1)))
+
+    def nbr_proj(h_nbr, layer_params, H):
+        """Static neighbour pre-activation h @ W1[H:2H] -> [*, T, Bp]."""
+        wj = jnp.asarray(layer_params["message"]["lin1"]["w"], F32)[H:2 * H]
+        return nbr_to_lane(
+            jnp.einsum("bph,ht->bpt", h_nbr, wj, precision=_HIGHEST), Bp
+        )
+
+    # layer 1 peptide neighbour term: static 22-dim part + time row
+    w1m = jnp.asarray(params["gnn1"]["message"]["lin1"]["w"], F32)
+    wj1 = w1m[H1:2 * H1]                                   # [23, T]
+    aj1_pep_static = nbr_to_lane(
+        jnp.einsum("bnh,ht->bnt", feats22, wj1[:22], precision=_HIGHEST), Bp
+    )                                                      # [N, T, Bp]
+    wj1_time = wj1[22].reshape(1, -1, 1)                   # [1, T, 1]
+    aj1_pocket = nbr_proj(pocket_h, params["gnn1"], H1)    # [P, T, Bp]
+    aj2_pocket = nbr_proj(pocket_inner, params["gnn2"], H2)
+
+    q_pk = nbr_to_lane(batch["pocket_frames"].quats, Bp)   # [P, 4, Bp]
+    t_pk = nbr_to_lane(batch["pocket_frames"].trans, Bp)   # [P, 3, Bp]
+
+    w2m = jnp.asarray(params["gnn2"]["message"]["lin1"]["w"], F32)
+    wj2_t = w2m[H2:2 * H2].T                               # [T, 64]
+    TR = wj2_t.shape[0]
+
+    def carry_nbr(x):
+        """Carried lane state [C, N*Bp] -> resident neighbour [N, C, Bp]
+        (a sublane-dim reshuffle — no lane movement)."""
+        return jnp.transpose(x.reshape(-1, N, Bp), (1, 0, 2))
+
+    def interleave(s, c):
+        """sin [7, L] + cos [7, L] -> tors14 [14, L] (s0 c0 s1 c1 ...)."""
+        return jnp.stack((s, c), axis=1).reshape(14, -1)
+
+    tf_row = jnp.ones((1, L), F32)
+
+    def forward(q, t_lane, s_lane, c_lane, t):
+        """Two fused layers on lane state -> predicted noise (lane)."""
+        tf = jnp.asarray(t, F32) * inv_T
+        h1 = jnp.concatenate((feat_lane, tf * tf_row), axis=0)  # [23, L]
+        tors14 = interleave(s_lane, c_lane)
+
+        aj1 = jnp.concatenate(
+            (aj1_pep_static + tf * wj1_time, aj1_pocket), axis=0
+        )
+        qj = jnp.concatenate((carry_nbr(q), q_pk), axis=0)
+        tj = jnp.concatenate((carry_nbr(t_lane), t_pk), axis=0)
+
+        q1, t1, s1, c1, inner = egnn_lane_core(
+            w1, h1, q, t_lane, tors14, s_lane, c_lane,
+            aj1, qj, tj, edge3_1, mask_t, s_mat,
+            k=k, Bp=Bp, O=H2, interpret=interpret, bf16=bf16, unroll=unroll,
+        )
+
+        h2 = jnp.maximum(inner, 0.0)                        # [64, L]
+        # dynamic layer-2 neighbour projection: [T, L] -> [N, T, Bp]
+        aj2_pep = jnp.transpose(
+            lax.dot_general(
+                wj2_t, h2, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32, precision=_HIGHEST,
+            ).reshape(TR, N, Bp),
+            (1, 0, 2),
+        )
+        aj2 = jnp.concatenate((aj2_pep, aj2_pocket), axis=0)
+        qj2 = jnp.concatenate((carry_nbr(q1), q_pk), axis=0)
+        tj2 = jnp.concatenate((carry_nbr(t1), t_pk), axis=0)
+        tors14_1 = interleave(s1, c1)
+
+        q2, t2, s2, c2, _ = egnn_lane_core(
+            w2, h2, q1, t1, tors14_1, s1, c1,
+            aj2, qj2, tj2, edge3_2, mask_t, s_mat,
+            k=k, Bp=Bp, O=1, interpret=interpret, bf16=bf16, unroll=unroll,
+        )
+        return q2, t2, s2, c2
+
+    def step(carry, xs):
+        t, inj = xs
+        pred = forward(*carry, t)
+        if inj is None:
+            rand = _gen_noise_lane(jax.random.fold_in(key, t), L, config)
+        else:
+            rand = (
+                node_to_lane(inj["frames"].quats, Bp),
+                node_to_lane(inj["frames"].trans, Bp),
+                node_to_lane(inj["torsions"][..., 0], Bp),
+                node_to_lane(inj["torsions"][..., 1], Bp),
+            )
+        return _remove_noise_lane(carry, pred, rand, t, tables), None
+
+    torsions0 = jnp.asarray(batch["torsions"], F32)
+    init = (
+        node_to_lane(batch["frames"].quats, Bp),
+        node_to_lane(batch["frames"].trans, Bp),
+        node_to_lane(torsions0[..., 0], Bp),
+        node_to_lane(torsions0[..., 1], Bp),
+    )
+
+    ts = jnp.arange(T_steps, 0, -1)
+    if injected_noise is None:
+        step_fn = lambda carry, t: step(carry, (t, None))
+        xs = ts
+    else:
+        step_fn = step
+        xs = (ts, injected_noise)
+    (q, t_lane, s_lane, c_lane), _ = lax.scan(step_fn, init, xs)
+
+    from pmhc_tpu.geometry import RigidArray
+
+    result = dict(batch)
+    result["frames"] = RigidArray(
+        lane_to_node(q, B, Bp), lane_to_node(t_lane, B, Bp)
+    )
+    result["torsions"] = jnp.stack(
+        (lane_to_node(s_lane, B, Bp), lane_to_node(c_lane, B, Bp)), axis=-1
+    )
+    return result

@@ -270,37 +270,11 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
     return _kernel
 
 
-def egnn_forward_pallas_lane(
-    params,
-    peptide_frames: RigidArray,
-    peptide_torsions: jnp.ndarray,
-    peptide_features: jnp.ndarray,
-    edge_pre: jnp.ndarray,
-    peptide_mask: jnp.ndarray,
-    pocket_features: jnp.ndarray,
-    pocket_frames: RigidArray,
-    pocket_mask: jnp.ndarray,
-    lane_block: int = 1024,
-    interpret: bool = False,
-    bf16: bool = False,
-    unroll: int = 4,
-) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in fused replacement for ``egnn_forward`` (lane-packed).
-
-    ``bf16``: MLP matmuls run with bf16 MXU inputs + f32 accumulation
-    (geometry stays f32) — the kernel twin of the XLA path's --bf16."""
-    B, N = peptide_mask.shape
-    P = pocket_mask.shape[-1]
-    NP = N + P
-    H = peptide_features.shape[-1]
-    T = params["message"]["lin1"]["b"].shape[0]
-    M = params["message"]["lin2"]["b"].shape[0]
-    O = params["feature"]["lin2"]["b"].shape[0]
-
-    # cell geometry: k consecutive query residues x the full (padded)
-    # batch. k is 8 or 16 (Mosaic sublane-dim blocks must be multiples of
-    # 8 — the edge-term BlockSpec slices k rows); Bp pads the batch so
-    # k*Bp lane blocks stay 128-aligned.
+def lane_geometry(B: int, N: int, lane_block: int = 1024) -> Tuple[int, int]:
+    """Cell geometry (k, Bp): k consecutive query residues x the full
+    (padded) batch per grid cell. k is 8 or 16 (Mosaic sublane-dim blocks
+    must be multiples of 8 — the edge-term BlockSpec slices k rows); Bp
+    pads the batch so k*Bp lane blocks stay 128-aligned."""
     if N % 16 == 0 and 16 * B <= max(lane_block, 2048):
         k = 16
     elif N % 8 == 0:
@@ -309,67 +283,22 @@ def egnn_forward_pallas_lane(
         raise ValueError(f"peptide maxlen {N} must be a multiple of 8")
     sub = 128 // min(k, 128)
     Bp = -(-B // sub) * sub  # pad batch so k*Bp is a multiple of 128
-    BNB = k * Bp
-    grid = (N // k,)
+    return k, Bp
 
-    def node_t(x):
-        """[B, N, C] -> [C, N*Bp] (lane = n * Bp + b, n-major)."""
-        x = x.reshape(B, N, -1)
-        if Bp != B:
-            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        return jnp.transpose(x, (2, 1, 0)).reshape(-1, N * Bp)
 
-    pep_mask = peptide_mask.astype(F32)
-    pk_mask = pocket_mask.astype(F32)
-    not_self = 1.0 - jnp.eye(N, dtype=F32)
-    msg_mask = jnp.concatenate(
-        (
-            pep_mask[:, :, None] * pep_mask[:, None, :] * not_self,
-            pep_mask[:, :, None] * pk_mask[:, None, :],
-        ),
-        axis=-1,
-    )  # [B, N, NP]
-    if Bp != B:
-        msg_mask = jnp.pad(msg_mask, ((0, Bp - B), (0, 0), (0, 0)))
-    mask_t = jnp.transpose(msg_mask, (2, 1, 0)).reshape(NP, 1, N * Bp)
-
-    # resident neighbour-side tensors, [NP, C, Bp] (batch on lanes)
-    h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
-    q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
-    t_all = jnp.concatenate((peptide_frames.trans, pocket_frames.trans), axis=-2)
-
-    def nbr_t(x):
-        """[B, NP, C] -> [NP, C, Bp]."""
-        if Bp != B:
-            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        return jnp.transpose(x, (1, 2, 0))
-
-    w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)  # [2H+E, T]
-    # a_j = h_all @ W1[H:2H] -> [B, NP, T] -> [NP, T, Bp]
-    a_j = jnp.einsum(
-        "bph,ht->bpt", h_all, w1m[H:2 * H], precision=lax.Precision.HIGHEST,
-    )
-    aj3 = nbr_t(a_j)
-    # edge term (zero toward the pocket): [N, NP, T] -> [NP, N, T]
-    # (query residues on the SUBLANE dim so per-cell k-row blocks are legal)
-    edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))
-    edge3 = jnp.transpose(edge_full, (1, 0, 2))
-    # one-hot n-expansion matrix: S[j, n*Bp + b] = (n == j)
-    s_mat = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 1) // Bp
-        == jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 0)
-    ).astype(F32)
-
-    tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
-
+def pack_lane_weights(params, H: int) -> list:
+    """Transpose/reshape one layer's params into the kernel's weight list
+    (the order matches ``_make_kernel``'s weight refs)."""
     p = params
+    w1m = jnp.asarray(p["message"]["lin1"]["w"], F32)  # [2H+E, T]
+    M = p["message"]["lin2"]["b"].shape[0]
     col = lambda w: jnp.asarray(w, F32).T  # [in, out] -> [out, in]
     bias = lambda b: jnp.asarray(b, F32).reshape(-1, 1)
     w1a = jnp.asarray(p["attention"]["lin1"]["w"], F32)  # [M+2, T]
     w1f = jnp.asarray(p["feature"]["lin1"]["w"], F32)    # [H+M, T]
     w1r = jnp.asarray(p["rotation"]["lin1"]["w"], F32)   # [M+4, T]
     w1t = jnp.asarray(p["torsion"]["lin1"]["w"], F32)    # [M+14, T]
-    weights = [
+    return [
         col(w1m[:H]),                                     # wmi [T, H]
         bias(p["message"]["lin1"]["b"]),
         col(p["message"]["lin2"]["w"]), bias(p["message"]["lin2"]["b"]),
@@ -388,6 +317,41 @@ def egnn_forward_pallas_lane(
         col(w1t[M:]), bias(p["torsion"]["lin1"]["b"]),
         col(p["torsion"]["lin2"]["w"]), bias(p["torsion"]["lin2"]["b"]),
     ]
+
+
+def egnn_lane_core(
+    weights: list,
+    h: jnp.ndarray,        # [H, N*Bp] lane layout (n-major lanes)
+    qi: jnp.ndarray,       # [4, N*Bp]
+    ti: jnp.ndarray,       # [3, N*Bp]
+    tors14: jnp.ndarray,   # [14, N*Bp] interleaved (sin0 cos0 sin1 ...)
+    sin: jnp.ndarray,      # [7, N*Bp]
+    cos: jnp.ndarray,      # [7, N*Bp]
+    aj3: jnp.ndarray,      # [NP, T, Bp] resident neighbour a_j
+    qj3: jnp.ndarray,      # [NP, 4, Bp]
+    tj3: jnp.ndarray,      # [NP, 3, Bp]
+    edge3: jnp.ndarray,    # [NP, N, T]
+    mask_t: jnp.ndarray,   # [NP, 1, N*Bp]
+    s_mat: jnp.ndarray,    # [k, k*Bp]
+    *,
+    k: int,
+    Bp: int,
+    O: int,
+    interpret: bool = False,
+    bf16: bool = False,
+    unroll: int = 4,
+):
+    """The fused-layer pallas_call on ALREADY lane-transposed operands.
+
+    Returns lane-layout outputs (q, t, sin, cos, feat) — the building
+    block the lane-layout sampler scans over without ever leaving the
+    lane layout (pmhc_tpu/diffusion/sampler_lane.py)."""
+    NP = aj3.shape[0]
+    T = weights[0].shape[0]
+    H = h.shape[0]
+    BNB = k * Bp
+    N = h.shape[-1] // Bp
+    grid = (N // k,)
 
     lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i), memory_space=pltpu.VMEM)
     res = lambda c, w: pl.BlockSpec(
@@ -415,7 +379,7 @@ def egnn_forward_pallas_lane(
         for c in (4, 3, N_TORSIONS, N_TORSIONS, O)
     )
 
-    out_q, out_t, out_sin, out_cos, out_feat = pl.pallas_call(
+    return pl.pallas_call(
         _make_kernel(k, bf16, unroll),
         grid=grid,
         in_specs=in_specs,
@@ -425,21 +389,127 @@ def egnn_forward_pallas_lane(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(
-        node_t(peptide_features),
-        node_t(peptide_frames.quats),
-        node_t(peptide_frames.trans),
-        node_t(tors_flat),
-        node_t(peptide_torsions[..., 0]),
-        node_t(peptide_torsions[..., 1]),
-        aj3, nbr_t(q_all), nbr_t(t_all), edge3, mask_t, s_mat,
-        *weights,
+    )(h, qi, ti, tors14, sin, cos, aj3, qj3, tj3, edge3, mask_t, s_mat,
+      *weights)
+
+
+def node_to_lane(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
+    """[B, N, C] -> [C, N*Bp] (lane = n * Bp + b, n-major)."""
+    B, N = x.shape[0], x.shape[1]
+    x = x.reshape(B, N, -1)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+    return jnp.transpose(x, (2, 1, 0)).reshape(-1, N * Bp)
+
+
+def lane_to_node(x: jnp.ndarray, B: int, Bp: int) -> jnp.ndarray:
+    """[C, N*Bp] -> [B, N, C]."""
+    return jnp.transpose(x.reshape(-1, x.shape[-1] // Bp, Bp), (2, 1, 0))[:B]
+
+
+def nbr_to_lane(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
+    """[B, NP, C] -> [NP, C, Bp] (resident neighbour layout)."""
+    B = x.shape[0]
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+    return jnp.transpose(x, (1, 2, 0))
+
+
+def lane_msg_mask(peptide_mask, pocket_mask, Bp: int) -> jnp.ndarray:
+    """Message mask in kernel layout [NP, 1, N*Bp]: peptide->peptide
+    excludes self (reference model.py:113-120), peptide->pocket dense."""
+    B, N = peptide_mask.shape
+    pep_mask = peptide_mask.astype(F32)
+    pk_mask = pocket_mask.astype(F32)
+    not_self = 1.0 - jnp.eye(N, dtype=F32)
+    msg_mask = jnp.concatenate(
+        (
+            pep_mask[:, :, None] * pep_mask[:, None, :] * not_self,
+            pep_mask[:, :, None] * pk_mask[:, None, :],
+        ),
+        axis=-1,
+    )  # [B, N, NP]
+    NP = msg_mask.shape[-1]
+    if Bp != B:
+        msg_mask = jnp.pad(msg_mask, ((0, Bp - B), (0, 0), (0, 0)))
+    return jnp.transpose(msg_mask, (2, 1, 0)).reshape(NP, 1, N * Bp)
+
+
+def lane_s_mat(k: int, Bp: int) -> jnp.ndarray:
+    """One-hot n-expansion matrix: S[j, n*Bp + b] = (n == j)."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 1) // Bp
+        == jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 0)
+    ).astype(F32)
+
+
+def lane_edge3(edge_pre: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Edge term (zero toward the pocket): [N, N, T] -> [NP, N, T]
+    (query residues on the SUBLANE dim so per-cell k-row blocks are
+    legal)."""
+    edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))
+    return jnp.transpose(edge_full, (1, 0, 2))
+
+
+def egnn_forward_pallas_lane(
+    params,
+    peptide_frames: RigidArray,
+    peptide_torsions: jnp.ndarray,
+    peptide_features: jnp.ndarray,
+    edge_pre: jnp.ndarray,
+    peptide_mask: jnp.ndarray,
+    pocket_features: jnp.ndarray,
+    pocket_frames: RigidArray,
+    pocket_mask: jnp.ndarray,
+    lane_block: int = 1024,
+    interpret: bool = False,
+    bf16: bool = False,
+    unroll: int = 4,
+) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused replacement for ``egnn_forward`` (lane-packed).
+
+    ``bf16``: MLP matmuls run with bf16 MXU inputs + f32 accumulation
+    (geometry stays f32) — the kernel twin of the XLA path's --bf16."""
+    B, N = peptide_mask.shape
+    P = pocket_mask.shape[-1]
+    H = peptide_features.shape[-1]
+    M = params["message"]["lin2"]["b"].shape[0]
+    O = params["feature"]["lin2"]["b"].shape[0]
+
+    k, Bp = lane_geometry(B, N, lane_block)
+    mask_t = lane_msg_mask(peptide_mask, pocket_mask, Bp)
+
+    # resident neighbour-side tensors, [NP, C, Bp] (batch on lanes)
+    h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
+    q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
+    t_all = jnp.concatenate((peptide_frames.trans, pocket_frames.trans), axis=-2)
+
+    w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)  # [2H+E, T]
+    # a_j = h_all @ W1[H:2H] -> [B, NP, T] -> [NP, T, Bp]
+    a_j = jnp.einsum(
+        "bph,ht->bpt", h_all, w1m[H:2 * H], precision=lax.Precision.HIGHEST,
+    )
+    weights = pack_lane_weights(params, H)
+    tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
+
+    out_q, out_t, out_sin, out_cos, out_feat = egnn_lane_core(
+        weights,
+        node_to_lane(peptide_features, Bp),
+        node_to_lane(peptide_frames.quats, Bp),
+        node_to_lane(peptide_frames.trans, Bp),
+        node_to_lane(tors_flat, Bp),
+        node_to_lane(peptide_torsions[..., 0], Bp),
+        node_to_lane(peptide_torsions[..., 1], Bp),
+        nbr_to_lane(a_j, Bp),
+        nbr_to_lane(q_all, Bp),
+        nbr_to_lane(t_all, Bp),
+        lane_edge3(edge_pre, P),
+        mask_t,
+        lane_s_mat(k, Bp),
+        k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16, unroll=unroll,
     )
 
-    def node_back(x):
-        """[C, N*Bp] -> [B, N, C]."""
-        return jnp.transpose(x.reshape(-1, N, Bp), (2, 1, 0))[:B]
-
+    node_back = lambda x: lane_to_node(x, B, Bp)
     out_tors = jnp.stack((node_back(out_sin), node_back(out_cos)), axis=-1)
     return (
         RigidArray(node_back(out_q), node_back(out_t)),

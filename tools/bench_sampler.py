@@ -44,12 +44,26 @@ def main():
 
     results = {}
     for backend in args.backends.split(","):
-        mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
+        # "lane_scan" = the lane-layout sampler (scan carry stays in the
+        # fused kernel's layout; pmhc_tpu/diffusion/sampler_lane.py)
+        mc = ScoreNetworkConfig(
+            noise_step_count=args.T,
+            backend="pallas_lane" if backend == "lane_scan" else backend,
+        )
         params = init_score_network(jax.random.key(0), mc)
         from pmhc_tpu.models.nn import DEFAULT_PRECISION
 
         prec = None if args.bf16 else DEFAULT_PRECISION
-        run = jax.jit(lambda p, b, k: sample(p, b, k, dc, mc, precision=prec))
+        if backend == "lane_scan":
+            from pmhc_tpu.diffusion.sampler_lane import sample_lane
+
+            run = jax.jit(
+                lambda p, b, k: sample_lane(p, b, k, dc, mc, precision=prec)
+            )
+        else:
+            run = jax.jit(
+                lambda p, b, k: sample(p, b, k, dc, mc, precision=prec)
+            )
 
         import numpy as np
 
