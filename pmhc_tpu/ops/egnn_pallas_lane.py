@@ -152,12 +152,20 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
 
             # the n-dependent edge term expands with a one-hot matmul:
             # edge block [k, T] x S [k, BNB], contracting the k rows
-            # (dim0 x dim0 — the MXU-native lhsT orientation)
-            edge_exp = lax.dot_general(
-                edge_ref[np_i], s_mat, (((0,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )  # [T, BNB]
+            # (dim0 x dim0 — the MXU-native lhsT orientation). S is exact
+            # 0/1, so bf16 mode runs it as one MXU pass like the MLPs.
+            if bf16:
+                edge_exp = lax.dot_general(
+                    edge_ref[np_i].astype(jnp.bfloat16),
+                    s_mat.astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())), preferred_element_type=F32,
+                )
+            else:
+                edge_exp = lax.dot_general(
+                    edge_ref[np_i], s_mat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=F32,
+                    precision=lax.Precision.HIGHEST,
+                )  # [T, BNB]
             pre = a_i + expand(aj_ref[np_i]) + edge_exp
             msg = _mm(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
 

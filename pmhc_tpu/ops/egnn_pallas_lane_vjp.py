@@ -100,10 +100,7 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
                      aj, qj, tj, edge_kT, mask, s_mat):
     """Forward intermediates for one neighbour index (shared by the fwd
     kernel and the bwd recompute)."""
-    edge_exp = lax.dot_general(
-        edge_kT, s_mat, (((0,), (0,)), ((), ())),
-        preferred_element_type=F32, precision=lax.Precision.HIGHEST,
-    )
+    edge_exp = _mm0(edge_kT, s_mat)
     pre = a_i + expand(aj) + edge_exp
     hid_m = jnp.maximum(pre, 0.0)
     msg = _mm(w["wm2"], hid_m) + w["bm2"]
@@ -267,7 +264,15 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
 
         def collapse(x):
             """[C, BNB] -> [C, Bp]: sum over the k query tiles (the
-            transpose of ``expand``), as one lane-contraction matmul."""
+            transpose of ``expand``), as one lane-contraction matmul.
+            j_mat is exact 0/1 (bf16-representable), so in bf16 mode this
+            runs one MXU pass like every other loop matmul instead of
+            f32-HIGHEST's ~6 — it only rounds the cotangent operand."""
+            if bf16:
+                return lax.dot_general(
+                    x.astype(jnp.bfloat16), j_mat.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())), preferred_element_type=F32,
+                )
             return lax.dot_general(
                 x, j_mat, (((1,), (0,)), ((), ())),
                 preferred_element_type=F32,
@@ -381,11 +386,8 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
             dqj_ref[np_i] = dqj_ref[np_i] + collapse(dqj_q)
             dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj_np)
             # edge grad: transpose of edge_exp = edge^T S -> dE = S dpre^T
-            dedge_ref[np_i] = lax.dot_general(
-                s_mat, dpre, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )  # [k, T]
+            # (s_mat is exact 0/1; _mmL keeps one MXU pass in bf16 mode)
+            dedge_ref[np_i] = _mmL(s_mat, dpre)  # [k, T]
 
             return (dai, dtor_node, dqi, dti, dw)
 

@@ -67,12 +67,13 @@ def main():
     # measured numbers from docs/status.md (one v5e chip)
     measured = [
         # (name, batch, steps_per_sec, precision, kind)
-        ("train f32 B=64", 64, 218.2, "f32", "train"),
-        ("train bf16 B=64", 64, 377.0, "bf16", "train"),
-        ("train f32 B=1024", 1024, 15400 / 1024, "f32", "train"),
-        ("train bf16 B=1024", 1024, 20700 / 1024, "bf16", "train"),
-        ("sample f32 B=64 (50/s)", 64, 50.0 / 64 * 1000, "f32", "fwd"),
-        ("sample bf16 B=64 (152/s)", 64, 152.0 / 64 * 1000, "bf16", "fwd"),
+        # pallas_lane backend, 2026-08-17 (docs/status.md round-2 table)
+        ("train f32 B=64", 64, 261.5, "f32", "train"),
+        ("train bf16 B=64", 64, 982.5, "bf16", "train"),
+        ("train f32 B=1024", 1024, 17500 / 1024, "f32", "train"),
+        ("train bf16 B=1024", 1024, 61100 / 1024, "bf16", "train"),
+        ("sample f32 B=64 (71.6/s)", 64, 71.6 / 64 * 1000, "f32", "fwd"),
+        ("sample bf16 B=64 (187/s)", 64, 187.4 / 64 * 1000, "bf16", "fwd"),
         ("sample bf16 B=256 (215/s)", 256, 215.0 / 256 * 1000, "bf16", "fwd"),
     ]
     for name, b, per_sec, prec, kind in measured:
