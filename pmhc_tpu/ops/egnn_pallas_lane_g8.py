@@ -1,0 +1,552 @@
+"""Component-major 8-neighbour-packed fused EGNN layer ("geom8").
+
+The lane-packed kernel (``egnn_pallas_lane.py``) is VPU-throughput bound,
+and roughly half of its VPU cycles are SUBLANE-OCCUPANCY waste: the
+quaternion / scalar geometry chain runs on [1..4, lanes] tiles, so every
+vector register carries 1-4 useful sublanes out of 8 (docs/status.md
+round-2 trace: fwd kernels 0.21 ms/step, bwd 0.59 ms at batch 64 bf16).
+
+This kernel processes ONE GROUP OF 8 NEIGHBOURS per loop iteration in two
+cooperating layouts:
+
+- **MXU stages** (message/attention/rotation/torsion/translation MLPs)
+  run lane-stacked ``[C, 8*BNB]`` — j-MAJOR lane blocks (lane =
+  j*BNB + n*Bp + b): the same ops as before at 8x width, 8x fewer
+  issues, unchanged FLOPs.
+- **Quaternion algebra** runs component-major ``[32, BNB]`` — rows
+  (w0..w7, x0..x7, y0..y7, z0..z7): every Hamilton-product term is a
+  full-height [8, BNB] tile at 8/8 sublane occupancy instead of eight
+  [1, BNB] row ops at 1/8.
+- The two layouts meet through tiny constant 0/1 **selection matmuls**
+  (built from iota once per cell): cm->lane-stacked is eight [4,32]
+  selections + a j-major lane concat; lane-stacked->cm is eight [32,4]
+  selections summed. Mosaic rejects the sublane-shuffle alternative
+  ("offset mismatch on non-concat dimension"); the MXU route costs <1%
+  extra FLOPs.
+- The online-softmax fold becomes: per-group lane-block TREE max/sum
+  down to node width (j-major blocks are contiguous), then one ordinary
+  fold into the running accumulators (associativity of the streaming
+  softmax).
+
+Semantics are identical to ``egnn_forward`` / ``egnn_forward_pallas_lane``
+(reference ``diffusion/model.py:83-333``), including the quirks
+(unnormalized sigmoid quat deltas, -1e9 softmax masking, plain
+all-neighbour message sums). Parity: tests/unit/test_pallas_lane_g8.py
+(interpret mode vs the dense layer).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pmhc_tpu.geometry import RigidArray
+from pmhc_tpu.ops.egnn_pallas_lane import lane_geometry, pack_lane_weights
+
+N_TORSIONS = 7
+INFINITY = 1e9
+F32 = jnp.float32
+G = 8  # neighbours per group (the full sublane height of a vreg)
+
+
+def _mm_maker(bf16: bool):
+    if bf16:
+        def _mm(a, b):
+            return lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=F32,
+            )
+
+        def _mm0(a, b):
+            return lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=F32,
+            )
+    else:
+        def _mm(a, b):
+            return lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        def _mm0(a, b):
+            return lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )
+    return _mm, _mm0
+
+
+def _qmul_cm(q1, q2):
+    """Hamilton product in component-major layout: [32, L] x [32, L] ->
+    [32, L]; every term is a full-occupancy [8, L] tile."""
+    w1, x1, y1, z1 = q1[0:8], q1[8:16], q1[16:24], q1[24:32]
+    w2, x2, y2, z2 = q2[0:8], q2[8:16], q2[16:24], q2[24:32]
+    return jnp.concatenate(
+        (
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ),
+        axis=0,
+    )
+
+
+def _tree_lane(x, width, op):
+    """Reduce the 8 j-major lane blocks of ``width`` lanes:
+    [C, 8*width] -> [C, width] by a 3-level halving tree."""
+    for m in (4, 2, 1):
+        x = op(x[:, : m * width], x[:, m * width:])
+    return x
+
+
+def _sel_matrices():
+    """Constant 0/1 selection matrices (iota-built, hoisted per cell)."""
+    ic4 = lax.broadcasted_iota(jnp.int32, (4, 32), 0)
+    ir4 = lax.broadcasted_iota(jnp.int32, (4, 32), 1)
+    # cm -> lane block j: P_j [4, 32] with P_j[c, c*8+j] = 1
+    p_sel = [(ir4 == ic4 * G + j).astype(F32) for j in range(G)]
+    ic32 = lax.broadcasted_iota(jnp.int32, (32, 4), 0)
+    ir32 = lax.broadcasted_iota(jnp.int32, (32, 4), 1)
+    # lane block j -> cm rows: Q_j [32, 4] with Q_j[c*8+j, c] = 1
+    q_sel = [(ic32 == ir32 * G + j).astype(F32) for j in range(G)]
+    ic8 = lax.broadcasted_iota(jnp.int32, (8, 32), 0)
+    ir8 = lax.broadcasted_iota(jnp.int32, (8, 32), 1)
+    # per-j component sum: RSQ [8, 32] with RSQ[j, c*8+j] = 1
+    rsq = (ir8 % G == ic8).astype(F32)
+    ict = lax.broadcasted_iota(jnp.int32, (32, 8), 0)
+    irt = lax.broadcasted_iota(jnp.int32, (32, 8), 1)
+    # tile a [8, L] per-j row set to all 4 component blocks: T4 [32, 8]
+    t4 = (ict % G == irt).astype(F32)
+    # node [4, L] -> cm [32, L] row replication: T4Q[c*8+j, c] = 1
+    t4q = (ic32 // G == ir32).astype(F32)
+    return p_sel, q_sel, rsq, t4, t4q
+
+
+def _lane8(x):
+    """Replicate a node-width tile to all 8 j-major lane blocks:
+    [C, L] -> [C, 8L] by three concat-doublings."""
+    for _ in range(3):
+        x = jnp.concatenate((x, x), axis=1)
+    return x
+
+
+def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
+    _mm, _mm0 = _mm_maker(bf16)
+
+    def _kernel(
+        # per-node, node-lane layout [C, BNB] (lane = n*Bp+b) — the j-major
+        # group-lane and component-major replicas are built IN-KERNEL
+        h_ref,        # [H, BNB]
+        qi_ref,       # [4, BNB]
+        ti_ref,       # [3, BNB]
+        tors_ref,     # [14, BNB] interleaved (sin0 cos0 ...)
+        sin_ref,      # [7, BNB]
+        cos_ref,      # [7, BNB]
+        # resident neighbour-side tensors (old per-neighbour layout)
+        aj_ref,       # [NP, T, Bp]
+        qj_ref,       # [NP, 4, Bp]
+        tj_ref,       # [NP, 3, Bp]
+        qjg_cm_ref,   # [NG, 32, Bp] component-major groups
+        edge_ref,     # [NP, k, T] (this cell's n rows)
+        mask_ref,     # [NP, 1, BNB] (this cell's message-mask rows)
+        s_ref,        # [k, BNB] one-hot n expansion
+        # weights (pack_lane_weights order)
+        wmi_ref, bm1_ref,
+        wm2_ref, bm2_ref,
+        wheads_ref,
+        wad_ref, waq_ref, ba1_ref,
+        wa2_ref, ba2_ref,
+        wfh_ref, wfm_ref, bf1_ref,
+        wf2_ref, bf2_ref,
+        bl1_ref, wl2_ref, bl2_ref,
+        wrq_ref, br1_ref,
+        wr2_ref, br2_ref,
+        wtt_ref, bt1_ref,
+        wt2_ref, bt2_ref,
+        # outputs (node-lane layout)
+        out_q_ref, out_t_ref, out_sin_ref, out_cos_ref, out_feat_ref,
+    ):
+        NG = qjg_cm_ref.shape[0]
+        M = wm2_ref.shape[0]
+        T = wheads_ref.shape[0] // 4
+        BNB = qi_ref.shape[-1]
+
+        p_sel, q_sel, rsq, t4, t4q = _sel_matrices()
+        s_mat = s_ref[:]
+
+        # hoisted per-cell tensors (node-width compute, then replicate)
+        a_i8 = _lane8(_mm(wmi_ref[:], h_ref[:]) + bm1_ref[:])  # [T, BNB8]
+        tor_node8 = _lane8(_mm(wtt_ref[:], tors_ref[:]))       # [T, BNB8]
+        q_i8 = _lane8(qi_ref[:])
+        t_i8 = _lane8(ti_ref[:])
+        qi_cm = _mm(t4q, qi_ref[:])                            # [32, BNB]
+        wad = wad_ref[:]
+        waq = waq_ref[:]
+
+        def rep(block):
+            """[C, Bp] -> [C, BNB] (repeat across the cell's k query n)."""
+            return pltpu.repeat(block, k, axis=1) if k > 1 else block
+
+        def expand8(ref, g):
+            """8 neighbours' [C, Bp] blocks -> [C, G*BNB] j-major."""
+            return jnp.concatenate(
+                [rep(ref[g * G + j]) for j in range(G)], axis=1
+            )
+
+        def cm_to_lane(x_cm):
+            """[4*G, BNB] -> [4, G*BNB] via 8 selection matmuls."""
+            return jnp.concatenate([_mm(p, x_cm) for p in p_sel], axis=1)
+
+        def lane_to_cm(x_lane):
+            """[4, G*BNB] -> [4*G, BNB] via 8 selection matmuls."""
+            out = _mm0(q_sel[0].T, x_lane[:, :BNB])
+            for j in range(1, G):
+                out = out + _mm0(q_sel[j].T, x_lane[:, j * BNB:(j + 1) * BNB])
+            return out
+
+        def one_group(g, carry):
+            (m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt) = carry
+
+            aj8 = expand8(aj_ref, g)                      # [T, BNB8]
+            edge8 = jnp.concatenate(
+                [_mm0(edge_ref[g * G + j], s_mat) for j in range(G)],
+                axis=1,
+            )                                              # [T, BNB8]
+            pre8 = a_i8 + aj8 + edge8
+            msg8 = _mm(wm2_ref[:], jnp.maximum(pre8, 0.0)) + bm2_ref[:]
+
+            q_j8 = expand8(qj_ref, g)                     # [4, BNB8]
+            t_j8 = expand8(tj_ref, g)                     # [3, BNB8]
+            mask8 = jnp.concatenate(
+                [mask_ref[g * G + j] for j in range(G)], axis=1
+            )                                              # [1, BNB8]
+
+            tdiff = t_i8 - t_j8                           # [3, BNB8]
+            d2 = jnp.sum(jnp.square(tdiff), axis=0, keepdims=True)
+            qdot = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
+
+            heads8 = _mm(wheads_ref[:], msg8)             # [4T, BNB8]
+
+            att_pre = (
+                heads8[0:T] + wad * (-d2) + waq * jnp.square(qdot)
+                + ba1_ref[:]
+            )
+            logits = (
+                _mm(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]
+                - (1.0 - mask8) * INFINITY
+            )                                              # [1, BNB8]
+
+            # ---- rotation geometry, component-major ------------------
+            qj_cm = rep(qjg_cm_ref[g])                    # [32, BNB]
+            sq = _mm(rsq, jnp.square(qj_cm))              # [8, BNB]
+            conj = jnp.concatenate((qj_cm[0:8], -qj_cm[8:32]), axis=0)
+            inv_cm = conj / _mm(t4, sq)                   # [32, BNB]
+            local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
+            rot_pre = (
+                heads8[T:2 * T]
+                + _mm(wrq_ref[:], cm_to_lane(local_cm))
+                + br1_ref[:]
+            )
+            # sigmoid quat used UNNORMALIZED (reference model.py:291-292)
+            ld8 = jax.nn.sigmoid(
+                _mm(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
+            )                                              # [4, BNB8]
+            gdelta_cm = _qmul_cm(qj_cm, _qmul_cm(lane_to_cm(ld8), inv_cm))
+            gdelta8 = cm_to_lane(gdelta_cm)               # [4, BNB8]
+
+            # ---- torsion / translation heads -------------------------
+            tor_pre = heads8[2 * T:3 * T] + tor_node8 + bt1_ref[:]
+            mdelta8 = (
+                _mm(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]
+            )                                              # [7, BNB8]
+            tr_hid = jnp.maximum(heads8[3 * T:] + bl1_ref[:], 0.0)
+            mtr8 = _mm(wl2_ref[:], tr_hid) + bl2_ref[:]   # [1, BNB8]
+            mr8 = mtr8 * tdiff                            # [3, BNB8]
+
+            # ---- group tree-fold to node width, then one online-softmax
+            # fold into the running accumulators -----------------------
+            gm = _tree_lane(logits, BNB, jnp.maximum)     # [1, BNB]
+            m_new = jnp.maximum(m_run, gm)
+            r = jnp.exp(m_run - m_new)
+            m_new8 = m_new
+            for _ in range(3):
+                m_new8 = jnp.concatenate((m_new8, m_new8), axis=1)
+            w8 = jnp.exp(logits - m_new8)                 # [1, BNB8]
+
+            add = jnp.add
+            return (
+                m_new,
+                acc_d * r + _tree_lane(w8, BNB, add),
+                acc_gd * r + _tree_lane(w8 * gdelta8, BNB, add),
+                acc_ta * r + _tree_lane(w8 * mdelta8, BNB, add),
+                acc_tr * r + _tree_lane(w8 * mr8, BNB, add),
+                acc_msg + _tree_lane(msg8, BNB, add),
+                acc_cnt + _tree_lane(mask8, BNB, add),
+            )
+
+        init = (
+            jnp.full((1, BNB), -1e30, F32),
+            jnp.zeros((1, BNB), F32),
+            jnp.zeros((4, BNB), F32),
+            jnp.zeros((N_TORSIONS, BNB), F32),
+            jnp.zeros((3, BNB), F32),
+            jnp.zeros((M, BNB), F32),
+            jnp.zeros((1, BNB), F32),
+        )
+        u = unroll if NG % unroll == 0 else 1
+
+        def body(step, carry):
+            for j in range(u):
+                carry = one_group(step * u + j, carry)
+            return carry
+
+        _, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = lax.fori_loop(
+            0, NG // u, body, init
+        )
+
+        # ---- finalize (identical to egnn_pallas_lane) ----------------
+        inv_d = 1.0 / acc_d
+        h = h_ref[:]
+        q_i = qi_ref[:]
+        t_i = ti_ref[:]
+
+        feat_pre = (
+            _mm(wfh_ref[:], h) + _mm(wfm_ref[:], acc_msg) + bf1_ref[:]
+        )
+        out_feat_ref[:] = (
+            _mm(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
+        )
+
+        gd = acc_gd * inv_d
+        has_nb = acc_cnt > 0.0
+        iden = (lax.broadcasted_iota(jnp.int32, (4, BNB), 0) == 0).astype(F32)
+        gd = jnp.where(has_nb, gd, iden)
+        gd = gd / jnp.maximum(
+            jnp.sqrt(jnp.sum(gd * gd, axis=0, keepdims=True)), 1e-12
+        )
+
+        def qmul_rows(q1, q2):
+            w1, x1, y1, z1 = q1[0:1], q1[1:2], q1[2:3], q1[3:4]
+            w2, x2, y2, z2 = q2[0:1], q2[1:2], q2[2:3], q2[3:4]
+            return jnp.concatenate(
+                (
+                    w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                    w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                    w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                    w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                ),
+                axis=0,
+            )
+
+        upd_q = qmul_rows(gd, q_i)
+        out_q_ref[:] = upd_q / jnp.maximum(
+            jnp.sqrt(jnp.sum(upd_q * upd_q, axis=0, keepdims=True)), 1e-12
+        )
+
+        delta_a = acc_ta * inv_d
+        sin_d, cos_d = jnp.sin(delta_a), jnp.cos(delta_a)
+        sin_t, cos_t = sin_ref[:], cos_ref[:]
+        out_sin_ref[:] = sin_d * cos_t + cos_d * sin_t
+        out_cos_ref[:] = cos_d * cos_t - sin_d * sin_t
+
+        out_t_ref[:] = t_i + acc_tr * inv_d
+
+    return _kernel
+
+
+# ---------------------------------------------------------------------------
+# XLA-side layout preparation
+# ---------------------------------------------------------------------------
+
+
+def nbr_to_cm8(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
+    """[B, NP, C] -> [NG, C*G, Bp] component-major neighbour groups."""
+    B, NP, C = x.shape
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+    t = jnp.transpose(x, (1, 2, 0))                      # [NP, C, Bp]
+    t = t.reshape(NP // G, G, C, Bp)
+    t = jnp.transpose(t, (0, 2, 1, 3))                   # [NG, C, G, Bp]
+    return t.reshape(NP // G, C * G, Bp)
+
+
+def egnn_lane8_core(
+    weights: list,
+    h, qi, ti, tors14, sin, cos,  # node-lane per-node [C, N*Bp]
+    aj3, qj3, tj3, qjg_cm,        # residents [NP, C, Bp] + cm groups
+    edge3, mask_t, s_mat,
+    *,
+    k: int,
+    Bp: int,
+    O: int,
+    interpret: bool = False,
+    bf16: bool = False,
+    unroll: int = 1,
+):
+    """The geom8 pallas_call on already-transposed operands — the same
+    operand set as ``egnn_lane_core`` plus the component-major neighbour
+    groups ``qjg_cm``. Returns node-lane outputs (q, t, sin, cos, feat)."""
+    NP = aj3.shape[0]
+    NG = NP // G
+    T = weights[0].shape[0]
+    H = h.shape[0]
+    BNB = k * Bp
+    N = h.shape[-1] // Bp
+    grid = (N // k,)
+
+    lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    res = lambda c, w: pl.BlockSpec((NP, c, w), lambda i: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    in_specs = [
+        lane(H), lane(4), lane(3), lane(2 * N_TORSIONS),
+        lane(N_TORSIONS), lane(N_TORSIONS),
+        res(T, Bp), res(4, Bp), res(3, Bp),
+        pl.BlockSpec((NG, 4 * G, Bp), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NP, k, T), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NP, 1, BNB), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        const((k, BNB)),
+    ] + [const(w.shape) for w in weights]
+
+    out_specs = tuple(
+        lane(c) for c in (4, 3, N_TORSIONS, N_TORSIONS, O)
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((c, h.shape[-1]), F32)
+        for c in (4, 3, N_TORSIONS, N_TORSIONS, O)
+    )
+
+    return pl.pallas_call(
+        _make_kernel_g8(k, bf16, unroll),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(h, qi, ti, tors14, sin, cos,
+      aj3, qj3, tj3, qjg_cm, edge3, mask_t, s_mat, *weights)
+
+
+def egnn_forward_pallas_lane_g8(
+    params,
+    peptide_frames: RigidArray,
+    peptide_torsions: jnp.ndarray,
+    peptide_features: jnp.ndarray,
+    edge_pre: jnp.ndarray,
+    peptide_mask: jnp.ndarray,
+    pocket_features: jnp.ndarray,
+    pocket_frames: RigidArray,
+    pocket_mask: jnp.ndarray,
+    lane_block: int = 1024,
+    interpret: bool = False,
+    bf16: bool = False,
+    unroll: int = 1,
+) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused replacement for ``egnn_forward`` (geom8 layout)."""
+    from pmhc_tpu.ops.egnn_pallas_lane import (
+        lane_edge3, lane_msg_mask, lane_s_mat, lane_to_node, nbr_to_lane,
+        node_to_lane,
+    )
+
+    B, N = peptide_mask.shape
+    P = pocket_mask.shape[-1]
+    NP = N + P
+    if NP % G:
+        raise ValueError(f"N+P={NP} must be a multiple of {G} for geom8")
+    H = peptide_features.shape[-1]
+    O = params["feature"]["lin2"]["b"].shape[0]
+
+    # the group-lane tiles are G times wider than the lane kernel's, so
+    # big batches must chunk to stay inside VMEM (heads8 at B=1024 would
+    # be [4T, 64k] = 67 MB f32); 256 keeps it at 16 MB
+    CHUNK = 256
+    if B > CHUNK:
+        pad = (-B) % CHUNK
+        def padb(x):
+            return jnp.pad(
+                x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            ) if pad else x
+
+        stack = lambda x: padb(x).reshape(
+            (B + pad) // CHUNK, CHUNK, *x.shape[1:]
+        )
+        chunked = (
+            stack(peptide_frames.quats), stack(peptide_frames.trans),
+            stack(peptide_torsions), stack(peptide_features),
+            stack(peptide_mask), stack(pocket_features),
+            stack(pocket_frames.quats), stack(pocket_frames.trans),
+            stack(pocket_mask),
+        )
+
+        def one(chunk):
+            fq, ft, tors, feats, pm, pkf, pkq, pkt, pkm = chunk
+            fr, tr, hh = egnn_forward_pallas_lane_g8(
+                params, RigidArray(fq, ft), tors, feats, edge_pre, pm,
+                pkf, RigidArray(pkq, pkt), pkm, lane_block=lane_block,
+                interpret=interpret, bf16=bf16, unroll=unroll,
+            )
+            return fr.quats, fr.trans, tr, hh
+
+        oq, ot, otr, ohh = lax.map(one, chunked)
+        merge = lambda x: x.reshape(-1, *x.shape[2:])[:B]
+        return (RigidArray(merge(oq), merge(ot)), merge(otr), merge(ohh))
+
+    k, Bp = lane_geometry(B, N, lane_block)
+    weights = pack_lane_weights(params, H)
+
+    h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
+    q_all = jnp.concatenate(
+        (peptide_frames.quats, pocket_frames.quats), axis=-2
+    )
+    t_all = jnp.concatenate(
+        (peptide_frames.trans, pocket_frames.trans), axis=-2
+    )
+
+    w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)
+    a_j = jnp.einsum(
+        "bph,ht->bpt", h_all, w1m[H:2 * H], precision=lax.Precision.HIGHEST,
+    )
+
+    tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
+
+    out_q, out_t, out_sin, out_cos, out_feat = egnn_lane8_core(
+        weights,
+        node_to_lane(peptide_features, Bp),
+        node_to_lane(peptide_frames.quats, Bp),
+        node_to_lane(peptide_frames.trans, Bp),
+        node_to_lane(tors_flat, Bp),
+        node_to_lane(peptide_torsions[..., 0], Bp),
+        node_to_lane(peptide_torsions[..., 1], Bp),
+        nbr_to_lane(a_j, Bp),
+        nbr_to_lane(q_all, Bp),
+        nbr_to_lane(t_all, Bp),
+        nbr_to_cm8(q_all, Bp),
+        lane_edge3(edge_pre, P),
+        lane_msg_mask(peptide_mask, pocket_mask, Bp),
+        lane_s_mat(k, Bp),
+        k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16, unroll=unroll,
+    )
+
+    node_back = lambda x: lane_to_node(x, B, Bp)
+    out_tors = jnp.stack((node_back(out_sin), node_back(out_cos)), axis=-1)
+    return (
+        RigidArray(node_back(out_q), node_back(out_t)),
+        out_tors,
+        node_back(out_feat),
+    )

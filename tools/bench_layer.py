@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--lane-block", type=int, default=1024)
     ap.add_argument("--unroll", type=int, default=4)
+    ap.add_argument("--g8-unroll", type=int, default=1)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--scan", type=int, default=0,
                     help="chain the layer K times inside one lax.scan "
@@ -46,6 +47,7 @@ def main():
     from pmhc_tpu.models.score import relpos_edge_pre
     from pmhc_tpu.ops.egnn_pallas import egnn_forward_pallas
     from pmhc_tpu.ops.egnn_pallas_lane import egnn_forward_pallas_lane
+    from pmhc_tpu.ops.egnn_pallas_lane_g8 import egnn_forward_pallas_lane_g8
     from pmhc_tpu.train.trainer import prepare_batch
 
     config = ScoreNetworkConfig()
@@ -99,6 +101,9 @@ def main():
             "pallas_lane": lambda *a: egnn_forward_pallas_lane(
                 *a, lane_block=args.lane_block, unroll=args.unroll,
                 bf16=args.bf16),
+            "g8": lambda *a: egnn_forward_pallas_lane_g8(
+                *a, lane_block=args.lane_block, bf16=args.bf16,
+                unroll=args.g8_unroll),
         }
         ref = None
         for backend in args.backends.split(","):
