@@ -34,15 +34,17 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--output-dir", default=None,
                    help="override the default <stem>-sampled output directory")
     p.add_argument("--backend", default="xla",
-                   choices=("xla", "pallas", "pallas_lane", "blockwise",
-                            "cp", "ring"),
+                   choices=("xla", "pallas", "pallas_lane", "g8",
+                            "blockwise", "cp", "ring"),
                    help="EGNN layer implementation: XLA block-matmuls, the "
                         "fused Pallas TPU kernels (pallas_lane = the "
-                        "lane-packed winner; the sampler scan then stays "
-                        "in kernel layout end-to-end), online-softmax "
-                        "neighbour streaming, or context parallelism "
-                        "(cp/ring shard the neighbour axis over "
-                        "--mesh-context devices)")
+                        "lane-packed winner at f32; g8 = its "
+                        "8-neighbour-grouped variant, fastest at --bf16; "
+                        "either way the sampler scan stays in kernel "
+                        "layout end-to-end), online-softmax neighbour "
+                        "streaming, or context parallelism (cp/ring "
+                        "shard the neighbour axis over --mesh-context "
+                        "devices)")
     p.add_argument("--mesh-context", type=int, default=1,
                    help="devices on the context-parallel axis (the rest go "
                         "to the data axis); selects backend 'cp' unless "
@@ -120,7 +122,7 @@ def main(argv=None) -> None:
                 params, batch, key, diffusion_config, model_config, mesh,
                 tables, precision=precision,
             )
-    elif backend == "pallas_lane":
+    elif backend in ("pallas_lane", "g8"):
         # lane-layout sampler: the scan carry stays in the fused kernel's
         # lane layout for all T steps (no per-step transposes)
         from pmhc_tpu.diffusion.sampler_lane import sample_lane
@@ -129,7 +131,7 @@ def main(argv=None) -> None:
         def run_sample(batch, key):
             return sample_lane(
                 params, batch, key, diffusion_config, model_config, tables,
-                precision=precision,
+                precision=precision, g8=backend == "g8",
             )
     else:
         @jax.jit

@@ -68,15 +68,17 @@ def build_parser() -> ArgumentParser:
                         "dispatch (amortizes host->TPU latency; identical "
                         "math to sequential steps)")
     p.add_argument("--backend", default="xla",
-                   choices=("xla", "pallas", "pallas_lane", "blockwise",
-                            "cp", "ring"),
+                   choices=("xla", "pallas", "pallas_lane", "g8",
+                            "blockwise", "cp", "ring"),
                    help="EGNN layer implementation (pallas_lane is the "
                         "lane-packed fused kernel with a hand-written "
-                        "Pallas backward — the fastest trainer on TPU; "
-                        "pallas trains via Pallas forward + XLA-remat "
-                        "backward; blockwise streams neighbour blocks with "
-                        "an online softmax; cp/ring shard the neighbour "
-                        "axis over --mesh-context devices)")
+                        "Pallas backward — the fastest f32 trainer on "
+                        "TPU; g8 is its 8-neighbour-grouped variant, "
+                        "fastest with --bf16; pallas trains via Pallas "
+                        "forward + XLA-remat backward; blockwise streams "
+                        "neighbour blocks with an online softmax; cp/ring "
+                        "shard the neighbour axis over --mesh-context "
+                        "devices)")
     return p
 
 

@@ -51,6 +51,7 @@ from pmhc_tpu.ops.egnn_pallas_lane import (
     node_to_lane,
     pack_lane_weights,
 )
+from pmhc_tpu.ops.egnn_pallas_lane_g8 import egnn_lane8_core
 
 F32 = jnp.float32
 PI = math.pi
@@ -202,6 +203,7 @@ def sample_lane(
     injected_noise: Dict[str, Any] | None = None,
     interpret: bool | None = None,
     unroll: int = 4,
+    g8: bool = False,
 ) -> Dict[str, Any]:
     """Full reverse diffusion with the lane-packed fused kernel, scan
     carry kept in lane layout end-to-end.
@@ -209,7 +211,9 @@ def sample_lane(
     Same contract as ``sampler.sample`` (``batch`` in [B, N] layout in
     and out); ``precision=None`` selects the kernel's bf16 MXU mode (the
     CLI --bf16 convention). ``injected_noise`` is a Noise pytree with a
-    leading [T] axis in standard layout, transposed per step (tests)."""
+    leading [T] axis in standard layout, transposed per step (tests).
+    ``g8``: run the geom8 group kernel (ops/egnn_pallas_lane_g8.py)
+    instead of the per-neighbour lane kernel — faster at bf16."""
     if tables is None:
         tables = ScheduleTables(config)
     if interpret is None:
@@ -281,6 +285,27 @@ def sample_lane(
 
     tf_row = jnp.ones((1, L), F32)
 
+    def nbr_cm_groups(qj):
+        """Neighbour resident [NP, 4, Bp] -> component-major groups
+        [NP/8, 32, Bp] (rows w0..w7 x0..x7 y0..y7 z0..z7)."""
+        NPl = qj.shape[0]
+        t_ = qj.reshape(NPl // 8, 8, 4, Bp)
+        return jnp.transpose(t_, (0, 2, 1, 3)).reshape(NPl // 8, 32, Bp)
+
+    def layer_core(wl, hl, q, t_lane, tors14, s_lane, c_lane,
+                   ajl, qj, tj, edge3l, O):
+        if g8:
+            return egnn_lane8_core(
+                wl, hl, q, t_lane, tors14, s_lane, c_lane,
+                ajl, qj, tj, nbr_cm_groups(qj), edge3l, mask_t, s_mat,
+                k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16, unroll=1,
+            )
+        return egnn_lane_core(
+            wl, hl, q, t_lane, tors14, s_lane, c_lane,
+            ajl, qj, tj, edge3l, mask_t, s_mat,
+            k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16, unroll=unroll,
+        )
+
     def forward(q, t_lane, s_lane, c_lane, t):
         """Two fused layers on lane state -> predicted noise (lane)."""
         tf = jnp.asarray(t, F32) * inv_T
@@ -293,10 +318,9 @@ def sample_lane(
         qj = jnp.concatenate((carry_nbr(q), q_pk), axis=0)
         tj = jnp.concatenate((carry_nbr(t_lane), t_pk), axis=0)
 
-        q1, t1, s1, c1, inner = egnn_lane_core(
+        q1, t1, s1, c1, inner = layer_core(
             w1, h1, q, t_lane, tors14, s_lane, c_lane,
-            aj1, qj, tj, edge3_1, mask_t, s_mat,
-            k=k, Bp=Bp, O=H2, interpret=interpret, bf16=bf16, unroll=unroll,
+            aj1, qj, tj, edge3_1, H2,
         )
 
         h2 = jnp.maximum(inner, 0.0)                        # [64, L]
@@ -313,10 +337,9 @@ def sample_lane(
         tj2 = jnp.concatenate((carry_nbr(t1), t_pk), axis=0)
         tors14_1 = interleave(s1, c1)
 
-        q2, t2, s2, c2, _ = egnn_lane_core(
+        q2, t2, s2, c2, _ = layer_core(
             w2, h2, q1, t1, tors14_1, s1, c1,
-            aj2, qj2, tj2, edge3_2, mask_t, s_mat,
-            k=k, Bp=Bp, O=1, interpret=interpret, bf16=bf16, unroll=unroll,
+            aj2, qj2, tj2, edge3_2, 1,
         )
         return q2, t2, s2, c2
 

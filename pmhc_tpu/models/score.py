@@ -42,6 +42,10 @@ class ScoreNetworkConfig:
     # "xla": block-matmul jnp implementation (the default).
     # "pallas": fused VMEM-resident kernel (pmhc_tpu.ops.egnn_pallas);
     # differentiable via custom VJP with an XLA-remat backward.
+    # "pallas_lane": lane-packed fused kernel + hand-written Pallas
+    # backward (ops/egnn_pallas_lane*.py) — the fastest f32 config.
+    # "g8": pallas_lane's geom8 variant — 8 neighbours per loop
+    # iteration, component-major quaternion algebra; fastest at bf16.
     # "blockwise": online-softmax streaming over neighbour blocks
     # (pmhc_tpu.models.egnn_blockwise) — O(block) neighbour memory.
     # "cp" / "ring": context parallelism — the neighbour axis sharded over
@@ -135,12 +139,13 @@ def score_network_forward(
         (pocket_features, jnp.zeros((B, P, 1), dtype=pocket_features.dtype)), axis=-1
     )
 
-    if config.backend == "pallas_lane":
+    if config.backend in ("pallas_lane", "g8"):
         # round-2 lane-packed fused kernel: (residue, batch) pairs on the
         # lane axis, neighbour loop with online softmax. Fully
         # differentiable: the neighbour loop carries a hand-written
         # Pallas BACKWARD (pmhc_tpu/ops/egnn_pallas_lane_vjp.py), so
-        # training pays no XLA-remat tax.
+        # training pays no XLA-remat tax. "g8" selects the geom8 group
+        # kernels (8 neighbours per iteration, component-major quats).
         from pmhc_tpu.ops.egnn_pallas_lane_vjp import (
             egnn_forward_pallas_lane_vjp,
         )
@@ -151,6 +156,7 @@ def score_network_forward(
             return egnn_forward_pallas_lane_vjp(
                 p, *args, lane_block=config.lane_block, interpret=interpret,
                 bf16=precision is None,  # the CLI --bf16 convention
+                g8=config.backend == "g8",
             )
     elif config.backend == "pallas":
         # differentiable: Pallas forward + XLA-remat backward, so the

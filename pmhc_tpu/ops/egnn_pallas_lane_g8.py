@@ -126,7 +126,9 @@ def _sel_matrices():
     t4 = (ict % G == irt).astype(F32)
     # node [4, L] -> cm [32, L] row replication: T4Q[c*8+j, c] = 1
     t4q = (ic32 // G == ir32).astype(F32)
-    return p_sel, q_sel, rsq, t4, t4q
+    # cm [32, L] -> node [4, L] grouped j-sum: R4[c, c*8+j] = 1
+    r4 = (ir4 // G == ic4).astype(F32)
+    return p_sel, q_sel, rsq, t4, t4q, r4
 
 
 def _lane8(x):
@@ -178,7 +180,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         T = wheads_ref.shape[0] // 4
         BNB = qi_ref.shape[-1]
 
-        p_sel, q_sel, rsq, t4, t4q = _sel_matrices()
+        p_sel, q_sel, rsq, t4, t4q, _ = _sel_matrices()
         s_mat = s_ref[:]
 
         # hoisted per-cell tensors (node-width compute, then replicate)

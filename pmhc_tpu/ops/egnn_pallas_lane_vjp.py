@@ -419,6 +419,394 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
 
 
 # ---------------------------------------------------------------------------
+# geom8 group loop kernels: 8 neighbours per iteration, quaternion algebra
+# component-major ([32, BNB] full-occupancy tiles), MLPs lane-stacked
+# [C, 8*BNB] j-major, dW matmuls and bias reductions batched 8x. Layout
+# rationale: ops/egnn_pallas_lane_g8.py. Enabled via backend="g8".
+# ---------------------------------------------------------------------------
+
+
+def _conj_cm(q):
+    return jnp.concatenate((q[0:8], -q[8:32]), axis=0)
+
+
+def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
+            a_i8, tor_node8, q_i8, t_i8, qi_cm,
+            aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat):
+    """Shared group recompute for the g8 fwd and bwd loop kernels."""
+    from pmhc_tpu.ops.egnn_pallas_lane_g8 import G as G8
+    from pmhc_tpu.ops.egnn_pallas_lane_g8 import _qmul_cm
+
+    p_sel, q_sel, rsq, t4, t4q, r4 = sel
+    T = w["wheads"].shape[0] // 4
+
+    def rep(block):
+        return pltpu.repeat(block, k, axis=1) if k > 1 else block
+
+    def expand8(ref, g):
+        return jnp.concatenate(
+            [rep(ref[g * G8 + j]) for j in range(G8)], axis=1
+        )
+
+    def cm_to_lane(x_cm):
+        return jnp.concatenate([_mm(p, x_cm) for p in p_sel], axis=1)
+
+    def lane_to_cm(x_lane):
+        out = _mm0(q_sel[0].T, x_lane[:, :BNB])
+        for j in range(1, G8):
+            out = out + _mm0(q_sel[j].T, x_lane[:, j * BNB:(j + 1) * BNB])
+        return out
+
+    def recompute(g):
+        aj8 = expand8(aj_ref, g)
+        edge8 = jnp.concatenate(
+            [_mm0(edge_ref[g * G8 + j], s_mat) for j in range(G8)], axis=1
+        )
+        pre8 = a_i8 + aj8 + edge8
+        hid_m8 = jnp.maximum(pre8, 0.0)
+        msg8 = _mm(w["wm2"], hid_m8) + w["bm2"]
+
+        q_j8 = expand8(qj_ref, g)
+        t_j8 = expand8(tj_ref, g)
+        mask8 = jnp.concatenate(
+            [mask_ref[g * G8 + j] for j in range(G8)], axis=1
+        )
+
+        tdiff8 = t_i8 - t_j8
+        d28 = jnp.sum(jnp.square(tdiff8), axis=0, keepdims=True)
+        qdot8 = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
+        heads8 = _mm(w["wheads"], msg8)
+        att_pre8 = (w["ba1"] + heads8[0:T] + w["wad"] * (-d28)
+                    + w["waq"] * jnp.square(qdot8))
+        hid_a8 = jnp.maximum(att_pre8, 0.0)
+        logit8 = _mm(w["wa2"], hid_a8) + w["ba2"] - (1.0 - mask8) * INFINITY
+
+        qj_cm = rep(qjg_cm_ref[g])
+        # exact-zero guard as in _recompute_block: padded lanes carry
+        # zero quats; 0/0 NaNs would poison lane reductions
+        sq8 = jnp.maximum(_mm(rsq, jnp.square(qj_cm)), 1e-30)   # [8, BNB]
+        sq_cm = _mm(t4, sq8)                                    # [32, BNB]
+        inv_cm = _conj_cm(qj_cm) / sq_cm
+        v_cm = _qmul_cm(qi_cm, qj_cm)
+        local_cm = _qmul_cm(inv_cm, v_cm)
+        local8 = cm_to_lane(local_cm)
+        rot_pre8 = heads8[T:2 * T] + _mm(w["wrq"], local8) + w["br1"]
+        hid_r8 = jnp.maximum(rot_pre8, 0.0)
+        ld8 = jax.nn.sigmoid(_mm(w["wr2"], hid_r8) + w["br2"])
+        ld_cm = lane_to_cm(ld8)
+        u_cm = _qmul_cm(ld_cm, inv_cm)
+        gdelta_cm = _qmul_cm(qj_cm, u_cm)
+        gdelta8 = cm_to_lane(gdelta_cm)
+
+        tor_pre8 = heads8[2 * T:3 * T] + tor_node8 + w["bt1"]
+        hid_t8 = jnp.maximum(tor_pre8, 0.0)
+        mdelta8 = _mm(w["wt2"], hid_t8) + w["bt2"]
+
+        tr_pre8 = heads8[3 * T:] + w["bl1"]
+        tr_hid8 = jnp.maximum(tr_pre8, 0.0)
+        mtr8 = _mm(w["wl2"], tr_hid8) + w["bl2"]
+        mr8 = mtr8 * tdiff8
+
+        return dict(
+            pre8=pre8, hid_m8=hid_m8, msg8=msg8, q_j8=q_j8, t_j8=t_j8,
+            mask8=mask8, tdiff8=tdiff8, d28=d28, qdot8=qdot8,
+            att_pre8=att_pre8, hid_a8=hid_a8, logit8=logit8,
+            qj_cm=qj_cm, sq8=sq8, sq_cm=sq_cm, inv_cm=inv_cm, v_cm=v_cm,
+            local_cm=local_cm, local8=local8, rot_pre8=rot_pre8,
+            hid_r8=hid_r8, ld8=ld8, ld_cm=ld_cm, u_cm=u_cm,
+            gdelta_cm=gdelta_cm, gdelta8=gdelta8,
+            tor_pre8=tor_pre8, hid_t8=hid_t8, mdelta8=mdelta8,
+            tr_pre8=tr_pre8, tr_hid8=tr_hid8, mtr8=mtr8, mr8=mr8,
+        )
+
+    return recompute, cm_to_lane, lane_to_cm
+
+
+def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
+    from pmhc_tpu.ops.egnn_pallas_lane_g8 import (
+        _lane8, _sel_matrices, _tree_lane,
+    )
+
+    _mm, _mm0, _mmL = _mm_maker(bf16)
+
+    def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
+               aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref,
+               s_ref, *w_then_out):
+        w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
+        w = {n: r[:] for n, r in w.items()}
+        (m_ref, d_ref, gd_ref, ta_ref, tr_ref, msg_ref, cnt_ref) = \
+            w_then_out[len(_LOOP_W):]
+        NP = aj_ref.shape[0]
+        NG = NP // 8
+        M = w["wm2"].shape[0]
+        BNB = ai_ref.shape[-1]
+
+        sel = _sel_matrices()
+        t4q = sel[4]
+        a_i8 = _lane8(ai_ref[:])
+        tor_node8 = _lane8(tor_ref[:])
+        q_i8 = _lane8(qi_ref[:])
+        t_i8 = _lane8(ti_ref[:])
+        qi_cm = _mm(t4q, qi_ref[:])
+        s_mat = s_ref[:]
+
+        recompute, _, _ = _g8_ctx(
+            w, _mm, _mm0, k, BNB, sel, a_i8, tor_node8, q_i8, t_i8, qi_cm,
+            aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat,
+        )
+
+        def one(g, carry):
+            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
+            r_ = recompute(g)
+            gm = _tree_lane(r_["logit8"], BNB, jnp.maximum)
+            m_new = jnp.maximum(m_run, gm)
+            r = jnp.exp(m_run - m_new)
+            m_new8 = m_new
+            for _ in range(3):
+                m_new8 = jnp.concatenate((m_new8, m_new8), axis=1)
+            w8 = jnp.exp(r_["logit8"] - m_new8)
+            add = jnp.add
+            return (
+                m_new,
+                acc_d * r + _tree_lane(w8, BNB, add),
+                acc_gd * r + _tree_lane(w8 * r_["gdelta8"], BNB, add),
+                acc_ta * r + _tree_lane(w8 * r_["mdelta8"], BNB, add),
+                acc_tr * r + _tree_lane(w8 * r_["mr8"], BNB, add),
+                acc_msg + _tree_lane(r_["msg8"], BNB, add),
+                acc_cnt + _tree_lane(r_["mask8"], BNB, add),
+            )
+
+        init = (
+            jnp.full((1, BNB), -1e30, F32),
+            jnp.zeros((1, BNB), F32),
+            jnp.zeros((4, BNB), F32),
+            jnp.zeros((N_TORSIONS, BNB), F32),
+            jnp.zeros((3, BNB), F32),
+            jnp.zeros((M, BNB), F32),
+            jnp.zeros((1, BNB), F32),
+        )
+        u_ = unroll if NG % unroll == 0 else 1
+
+        def body(step, carry):
+            for j in range(u_):
+                carry = one(step * u_ + j, carry)
+            return carry
+
+        m, d, gd, ta, tr, msg, cnt = lax.fori_loop(0, NG // u_, body, init)
+        m_ref[:] = m
+        d_ref[:] = d
+        gd_ref[:] = gd
+        ta_ref[:] = ta
+        tr_ref[:] = tr
+        msg_ref[:] = msg
+        cnt_ref[:] = cnt
+
+    return kernel
+
+
+def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int):
+    from pmhc_tpu.ops.egnn_pallas_lane_g8 import (
+        G as G8, _lane8, _qmul_cm, _sel_matrices, _tree_lane,
+    )
+
+    _mm, _mm0, _mmL = _mm_maker(bf16)
+
+    def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
+               aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref,
+               s_ref, j_ref,
+               m_ref, gd_ct_ref, gta_ref, gtr_ref, gdn_ref, gmsg_ref,
+               *w_then_out):
+        w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
+        w = {n: r[:] for n, r in w.items()}
+        outs = w_then_out[len(_LOOP_W):]
+        (dai_ref, dtor_ref, dqi_ref, dti_ref,
+         daj_ref, dqj_ref, dtj_ref, dedge_ref) = outs[:8]
+        dw_refs = dict(zip(_LOOP_W, outs[8:]))
+
+        NP = aj_ref.shape[0]
+        NG = NP // G8
+        BNB = ai_ref.shape[-1]
+
+        sel = _sel_matrices()
+        p_sel, q_sel, rsq, t4, t4q, r4 = sel
+        a_i8 = _lane8(ai_ref[:])
+        tor_node8 = _lane8(tor_ref[:])
+        q_i8 = _lane8(qi_ref[:])
+        t_i8 = _lane8(ti_ref[:])
+        qi_cm = _mm(t4q, qi_ref[:])
+        s_mat = s_ref[:]
+        j_mat = j_ref[:]
+        m_fin8 = _lane8(m_ref[:])
+        g_gd8 = _lane8(gd_ct_ref[:])
+        g_ta8 = _lane8(gta_ref[:])
+        g_tr8 = _lane8(gtr_ref[:])
+        g_d8 = _lane8(gdn_ref[:])
+        g_msg8 = _lane8(gmsg_ref[:])
+
+        first_cell = pl.program_id(0) == 0
+
+        @pl.when(first_cell)
+        def _():
+            daj_ref[:] = jnp.zeros(daj_ref.shape, F32)
+            dqj_ref[:] = jnp.zeros(dqj_ref.shape, F32)
+            dtj_ref[:] = jnp.zeros(dtj_ref.shape, F32)
+            for rr in dw_refs.values():
+                rr[:] = jnp.zeros(rr.shape, F32)
+
+        recompute, cm_to_lane, lane_to_cm = _g8_ctx(
+            w, _mm, _mm0, k, BNB, sel, a_i8, tor_node8, q_i8, t_i8, qi_cm,
+            aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat,
+        )
+
+        def collapse(x):
+            """[C, BNB] -> [C, Bp] (see _make_loop_bwd.collapse)."""
+            if bf16:
+                return lax.dot_general(
+                    x.astype(jnp.bfloat16), j_mat.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())), preferred_element_type=F32,
+                )
+            return lax.dot_general(
+                x, j_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        def rowsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        add = jnp.add
+
+        def rowsum_rows(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        def one(g, carry):
+            (dai, dtor_node, dqi, dti, dw) = carry
+            r_ = recompute(g)
+
+            e8 = jnp.exp(r_["logit8"] - m_fin8)           # [1, BNB8]
+            ge8 = (jnp.sum(g_gd8 * r_["gdelta8"], axis=0, keepdims=True)
+                   + jnp.sum(g_ta8 * r_["mdelta8"], axis=0, keepdims=True)
+                   + jnp.sum(g_tr8 * r_["mr8"], axis=0, keepdims=True)
+                   + g_d8)
+            dlogit8 = e8 * ge8
+            dgdelta8 = e8 * g_gd8
+            dmdelta8 = e8 * g_ta8
+            dmr8 = e8 * g_tr8
+            dmsg8 = g_msg8
+
+            # ---- translation head -------------------------------------
+            dmtr8 = rowsum_rows(dmr8 * r_["tdiff8"])
+            dti = dti + _tree_lane(dmr8 * r_["mtr8"], BNB, add)
+            dtj8 = -(dmr8 * r_["mtr8"])
+            dtr_hid8 = w["wl2"].T * dmtr8
+            dtr_pre8 = jnp.where(r_["tr_pre8"] > 0.0, dtr_hid8, 0.0)
+            dw["wl2"] += _mmL(dmtr8, r_["tr_hid8"])
+            dw["bl2"] += rowsum(dmtr8)
+            dw["bl1"] += rowsum(dtr_pre8)
+
+            # ---- torsion head ------------------------------------------
+            dhid_t8 = _mm0(w["wt2"], dmdelta8)
+            dtor_pre8 = jnp.where(r_["tor_pre8"] > 0.0, dhid_t8, 0.0)
+            dw["wt2"] += _mmL(dmdelta8, r_["hid_t8"])
+            dw["bt2"] += rowsum(dmdelta8)
+            dw["bt1"] += rowsum(dtor_pre8)
+            dtor_node = dtor_node + _tree_lane(dtor_pre8, BNB, add)
+
+            # ---- rotation head (component-major adjoints) --------------
+            qj_cm, inv_cm, ld_cm = r_["qj_cm"], r_["inv_cm"], r_["ld_cm"]
+            dgd_cm = lane_to_cm(dgdelta8)
+            dqj_cm = _qmul_cm(dgd_cm, _conj_cm(r_["u_cm"]))
+            du_cm = _qmul_cm(_conj_cm(qj_cm), dgd_cm)
+            dld_cm = _qmul_cm(du_cm, _conj_cm(inv_cm))
+            dinv_cm = _qmul_cm(_conj_cm(ld_cm), du_cm)
+            dz_cm = dld_cm * ld_cm * (1.0 - ld_cm)
+            dz8 = cm_to_lane(dz_cm)
+            dhid_r8 = _mm0(w["wr2"], dz8)
+            drot_pre8 = jnp.where(r_["rot_pre8"] > 0.0, dhid_r8, 0.0)
+            dw["wr2"] += _mmL(dz8, r_["hid_r8"])
+            dw["br2"] += rowsum(dz8)
+            dw["wrq"] += _mmL(drot_pre8, r_["local8"])
+            dw["br1"] += rowsum(drot_pre8)
+            dlocal8 = _mm0(w["wrq"], drot_pre8)
+            dlocal_cm = lane_to_cm(dlocal8)
+            dinv_cm = dinv_cm + _qmul_cm(dlocal_cm, _conj_cm(r_["v_cm"]))
+            dv_cm = _qmul_cm(_conj_cm(inv_cm), dlocal_cm)
+            dqi = dqi + _mm(r4, _qmul_cm(dv_cm, _conj_cm(qj_cm)))
+            dqj_cm = dqj_cm + _qmul_cm(_conj_cm(qi_cm), dv_cm)
+            dconj_cm = dinv_cm / r_["sq_cm"]
+            dqj_cm = dqj_cm + _conj_cm(dconj_cm)
+            # divide by sq twice (not sq**2): the 1e-30 guard would
+            # underflow to 0 when squared in f32 (0/0 = NaN)
+            ds8 = -_mm(rsq, dinv_cm * _conj_cm(qj_cm) / r_["sq_cm"]) \
+                / r_["sq8"]
+            dqj_cm = dqj_cm + 2.0 * qj_cm * _mm(t4, ds8)
+
+            # ---- attention head ----------------------------------------
+            dhid_a8 = w["wa2"].T * dlogit8
+            datt_pre8 = jnp.where(r_["att_pre8"] > 0.0, dhid_a8, 0.0)
+            dw["wa2"] += _mmL(dlogit8, r_["hid_a8"])
+            dw["ba2"] += rowsum(dlogit8)
+            dw["ba1"] += rowsum(datt_pre8)
+            dw["wad"] += rowsum(datt_pre8 * (-r_["d28"]))
+            dw["waq"] += rowsum(datt_pre8 * jnp.square(r_["qdot8"]))
+            dpre_cat8 = jnp.concatenate(
+                (datt_pre8, drot_pre8, dtor_pre8, dtr_pre8), axis=0)
+            dw["wheads"] += _mmL(dpre_cat8, r_["msg8"])
+            dmsg8 = dmsg8 + _mm0(w["wheads"], dpre_cat8)
+            dd28 = -jnp.sum(w["wad"] * datt_pre8, axis=0, keepdims=True)
+            dqdot8 = 2.0 * r_["qdot8"] * jnp.sum(
+                w["waq"] * datt_pre8, axis=0, keepdims=True)
+            dti = dti + _tree_lane(2.0 * dd28 * r_["tdiff8"], BNB, add)
+            dtj8 = dtj8 - 2.0 * dd28 * r_["tdiff8"]
+            dqi = dqi + _tree_lane(dqdot8 * r_["q_j8"], BNB, add)
+            dqj_cm = dqj_cm + lane_to_cm(dqdot8 * q_i8)
+
+            # ---- message MLP --------------------------------------------
+            dhid_m8 = _mm0(w["wm2"], dmsg8)
+            dpre8 = jnp.where(r_["pre8"] > 0.0, dhid_m8, 0.0)
+            dw["wm2"] += _mmL(dmsg8, r_["hid_m8"])
+            dw["bm2"] += rowsum(dmsg8)
+            dai = dai + _tree_lane(dpre8, BNB, add)
+
+            # ---- neighbour-side outputs --------------------------------
+            dqj_coll = collapse(dqj_cm)                   # [32, Bp]
+            for j in range(G8):
+                sl_ = slice(j * BNB, (j + 1) * BNB)
+                np_i = g * G8 + j
+                daj_ref[np_i] = daj_ref[np_i] + collapse(dpre8[:, sl_])
+                dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj8[:, sl_])
+                dqj_ref[np_i] = dqj_ref[np_i] + _mm(p_sel[j], dqj_coll)
+                dedge_ref[np_i] = _mmL(s_mat, dpre8[:, sl_])
+
+            return (dai, dtor_node, dqi, dti, dw)
+
+        dw0 = {n: jnp.zeros(w[n].shape, F32) for n in _LOOP_W}
+        init = (
+            jnp.zeros((w["wm2"].shape[1], BNB), F32),
+            jnp.zeros((w["wm2"].shape[1], BNB), F32),
+            jnp.zeros((4, BNB), F32),
+            jnp.zeros((3, BNB), F32),
+            dw0,
+        )
+        u_ = unroll if NG % unroll == 0 else 1
+
+        def body(step, carry):
+            for j in range(u_):
+                carry = one(step * u_ + j, carry)
+            return carry
+
+        dai, dtor_node, dqi, dti, dw = lax.fori_loop(0, NG // u_, body, init)
+        dai_ref[:] = dai
+        dtor_ref[:] = dtor_node
+        dqi_ref[:] = dqi
+        dti_ref[:] = dti
+        for n in _LOOP_W:
+            dw_refs[n][:] += dw[n]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # pallas_call plumbing + custom VJP over the neighbour loop
 # ---------------------------------------------------------------------------
 
@@ -437,11 +825,13 @@ def _cell_geometry(B, N, lane_block):
 
 @functools.lru_cache(maxsize=None)
 def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
-             bf16: bool, unroll: int, interpret: bool):
-    """Build the custom-VJP neighbour loop for one static geometry."""
+             bf16: bool, unroll: int, interpret: bool, g8: bool = False):
+    """Build the custom-VJP neighbour loop for one static geometry.
+
+    ``g8``: use the geom8 group kernels (8 neighbours per iteration,
+    component-major quaternion algebra) and take the extra component-
+    major neighbour resident ``qjg_cm`` [NP/8, 32, Bp]."""
     BNB = k * Bp
-    grid = (NP and ( -(-1) ),)  # placeholder, overwritten below
-    del grid
 
     lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
@@ -464,15 +854,17 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         "bt1": (T, 1), "wt2": (7, T), "bt2": (7, 1),
     }
 
-    def n_lanes(ncells):
-        return ncells * BNB
+    cmgroups = pl.BlockSpec((NP // 8, 32, Bp), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    def fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat):
+    def fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
+                 mask3, s_mat):
         ncells = ai.shape[-1] // BNB
         in_specs = (
             [lane(T), lane(T), lane(4), lane(3),
-             res3(T, Bp), res3(4, Bp), res3(3, Bp), celledge, cellmask,
-             const((k, BNB))]
+             res3(T, Bp), res3(4, Bp), res3(3, Bp)]
+            + ([cmgroups] if g8 else [])
+            + [celledge, cellmask, const((k, BNB))]
             + [const(w_shapes[n]) for n in _LOOP_W]
         )
         out_specs = tuple(lane(c) for c in (1, 1, 4, N_TORSIONS, 3, M, 1))
@@ -480,8 +872,13 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             jax.ShapeDtypeStruct((c, ncells * BNB), F32)
             for c in (1, 1, 4, N_TORSIONS, 3, M, 1)
         )
+        operands = (
+            (ai, tor, qi, ti, aj3, qj3, tj3)
+            + ((qjg_cm,) if g8 else ())
+            + (edge3, mask3, s_mat)
+        )
         return pl.pallas_call(
-            _make_loop_fwd(k, bf16, unroll),
+            (_make_loop_fwd_g8 if g8 else _make_loop_fwd)(k, bf16, unroll),
             grid=(ncells,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -489,17 +886,18 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat,
-          *[loop_w[n] for n in _LOOP_W])
+        )(*operands, *[loop_w[n] for n in _LOOP_W])
 
-    def bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
-                 s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_msg):
+    def bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
+                 mask3, s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_msg):
         ncells = ai.shape[-1] // BNB
         in_specs = (
             [lane(T), lane(T), lane(4), lane(3),
-             res3(T, Bp), res3(4, Bp), res3(3, Bp), celledge, cellmask,
-             const((k, BNB)), const((BNB, Bp)),
-             lane(1), lane(4), lane(N_TORSIONS), lane(3), lane(1), lane(M)]
+             res3(T, Bp), res3(4, Bp), res3(3, Bp)]
+            + ([cmgroups] if g8 else [])
+            + [celledge, cellmask,
+               const((k, BNB)), const((BNB, Bp)),
+               lane(1), lane(4), lane(N_TORSIONS), lane(3), lane(1), lane(M)]
             + [const(w_shapes[n]) for n in _LOOP_W]
         )
         out_specs = (
@@ -517,8 +915,14 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             jax.ShapeDtypeStruct((NP, 3, Bp), F32),
             jax.ShapeDtypeStruct((NP, ncells * k, T), F32),
         ) + tuple(jax.ShapeDtypeStruct(w_shapes[n], F32) for n in _LOOP_W)
+        operands = (
+            (ai, tor, qi, ti, aj3, qj3, tj3)
+            + ((qjg_cm,) if g8 else ())
+            + (edge3, mask3, s_mat, j_mat,
+               m_fin, g_gd, g_ta, g_tr, g_d, g_msg)
+        )
         return pl.pallas_call(
-            _make_loop_bwd(k, bf16, unroll),
+            (_make_loop_bwd_g8 if g8 else _make_loop_bwd)(k, bf16, unroll),
             grid=(ncells,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -526,38 +930,40 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat, j_mat,
-          m_fin, g_gd, g_ta, g_tr, g_d, g_msg,
-          *[loop_w[n] for n in _LOOP_W])
+        )(*operands, *[loop_w[n] for n in _LOOP_W])
 
     @jax.custom_vjp
-    def loop(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3, s_mat,
-             j_mat):
-        return fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3,
-                        mask3, s_mat)
+    def loop(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3, mask3,
+             s_mat, j_mat):
+        return fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
+                        edge3, mask3, s_mat)
 
-    def loop_fwd(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
-                 s_mat, j_mat):
-        outs = fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3,
-                        mask3, s_mat)
+    def loop_fwd(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
+                 mask3, s_mat, j_mat):
+        outs = fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
+                        edge3, mask3, s_mat)
         m = outs[0]
-        res = (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
-               s_mat, j_mat, m)
+        res = (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
+               mask3, s_mat, j_mat, m)
         return outs, res
 
     def loop_bwd(res, cts):
-        (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3, mask3,
+        (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3, mask3,
          s_mat, j_mat, m) = res
         # cotangents for (m, D, GD, TA, TR, MSG, CNT); m/CNT carry none
         # by construction of the finalize (ratios are shift-invariant and
         # CNT only gates a boolean)
         _, g_d, g_gd, g_ta, g_tr, g_msg, _ = cts
-        outs = bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, edge3,
-                        mask3, s_mat, j_mat, m, g_d, g_gd, g_ta, g_tr,
-                        g_msg)
+        outs = bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
+                        edge3, mask3, s_mat, j_mat, m, g_d, g_gd, g_ta,
+                        g_tr, g_msg)
         dai, dtor, dqi, dti, daj, dqj, dtj, dedge = outs[:8]
         dw = dict(zip(_LOOP_W, outs[8:]))
-        return (dw, dai, dtor, dqi, dti, daj, dqj, dtj, dedge,
+        # the g8 kernels read q_all through BOTH qj3 and qjg_cm; the
+        # hand-written backward merges the full gradient into the dqj
+        # output (routed via qj3), so qjg_cm's cotangent is zero
+        return (dw, dai, dtor, dqi, dti, daj, dqj, dtj,
+                jnp.zeros_like(qjg_cm), dedge,
                 jnp.zeros_like(mask3), jnp.zeros_like(s_mat),
                 jnp.zeros_like(j_mat))
 
@@ -579,22 +985,30 @@ def egnn_forward_pallas_lane_vjp(
     interpret: bool = False,
     bf16: bool = False,
     unroll: int = 4,
+    g8: bool = False,
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
     """Differentiable drop-in for ``egnn_forward``: Pallas neighbour loop
     (fwd + hand-written bwd) between autodiffed XLA pre/post stages.
 
-    Large batches are processed in chunks of 256 via ``lax.map``: the
-    BACKWARD kernel keeps ~20 [T, k*B] temporaries live per cell, so
-    k=8 x B=1024 lanes (the k>=8 Mosaic sublane-block constraint fixes
-    the lower bound) needs ~330 MB of VMEM — chunking keeps every call in
-    the measured <=2048-lane regime, and autodiff sums the per-chunk
-    weight gradients for free."""
+    ``g8``: geom8 group kernels — 8 neighbours per iteration, quaternion
+    algebra component-major (ops/egnn_pallas_lane_g8.py). Group unroll is
+    forced to 1 (the group IS the unroll).
+
+    Large batches are processed in chunks via ``lax.map``: the BACKWARD
+    kernel keeps ~20 [T, k*B] temporaries live per cell, so k=8 x B=1024
+    lanes (the k>=8 Mosaic sublane-block constraint fixes the lower
+    bound) needs ~330 MB of VMEM — chunking keeps every call in the
+    measured regime, and autodiff sums the per-chunk weight gradients
+    for free."""
     B, N = peptide_mask.shape
     # 128 keeps the XLA fusion AROUND the pallas calls inside the 16 MB
     # scoped-vmem limit at f32 (256-batch chunks = 4096-lane carries
     # measured 19.15M scoped); the kernels themselves are VMEM-capped
-    # separately via CompilerParams
-    CHUNK = 128
+    # separately via CompilerParams. g8 tiles are 8x wider, so it chunks
+    # at 64 (BNB8 <= 8192 keeps the group backward under ~50 MB VMEM).
+    CHUNK = 64 if g8 else 128
+    if g8:
+        unroll = 1
     if B > CHUNK:
         pad = (-B) % CHUNK
         def padb(x):
@@ -614,7 +1028,7 @@ def egnn_forward_pallas_lane_vjp(
             fr, tr, hh = egnn_forward_pallas_lane_vjp(
                 params, RigidArray(fq, ft), tors, feats, edge_pre, pm,
                 pkf, RigidArray(pkq, pkt), pkm, lane_block=lane_block,
-                interpret=interpret, bf16=bf16, unroll=unroll,
+                interpret=interpret, bf16=bf16, unroll=unroll, g8=g8,
             )
             return fr.quats, fr.trans, tr, hh
 
@@ -708,11 +1122,20 @@ def egnn_forward_pallas_lane_vjp(
         "bt2": bias(params["torsion"]["lin2"]["b"]),
     }
 
-    loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret)
+    if g8:
+        from pmhc_tpu.ops.egnn_pallas_lane_g8 import nbr_to_cm8
+
+        qjg_cm = nbr_to_cm8(q_all, Bp)
+    else:
+        # dummy with a static shape so the custom_vjp signature is stable
+        qjg_cm = jnp.zeros((NP // 8, 32, Bp), F32)
+
+    loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret, g8)
     m, D, GD, TA, TR, MSG, CNT = loop(
         loop_w, node_t(a_i), node_t(tor_node),
         node_t(peptide_frames.quats), node_t(peptide_frames.trans),
-        nbr_t(a_j), nbr_t(q_all), nbr_t(t_all), edge3, mask3, s_mat, j_mat,
+        nbr_t(a_j), nbr_t(q_all), nbr_t(t_all), qjg_cm, edge3, mask3,
+        s_mat, j_mat,
     )
 
     # XLA finalize (autodiffed); back in [B, N, C] layout

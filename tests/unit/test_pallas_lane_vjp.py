@@ -37,11 +37,12 @@ def _layer_inputs(batch_size=4, seed=9):
 
 
 @pytest.mark.parametrize("batch_size", [4, 9])
-def test_vjp_layer_forward_matches_dense(batch_size):
+@pytest.mark.parametrize("g8", [False, True])
+def test_vjp_layer_forward_matches_dense(batch_size, g8):
     params, args = _layer_inputs(batch_size=batch_size)
     dense_f, dense_t, dense_h = egnn_forward(params, *args)
     lane_f, lane_t, lane_h = egnn_forward_pallas_lane_vjp(
-        params, *args, interpret=True
+        params, *args, interpret=True, g8=g8
     )
     np.testing.assert_allclose(
         np.asarray(lane_f.quats), np.asarray(dense_f.quats), atol=5e-5)
@@ -53,7 +54,8 @@ def test_vjp_layer_forward_matches_dense(batch_size):
         np.asarray(lane_h), np.asarray(dense_h), atol=2e-4)
 
 
-def test_vjp_layer_grads_match_dense():
+@pytest.mark.parametrize("g8", [False, True])
+def test_vjp_layer_grads_match_dense(g8):
     """Gradients through the hand-written Pallas backward equal the dense
     layer's — w.r.t. PARAMS and every differentiable input (frames,
     torsions, node features, edge term, pocket features/frames)."""
@@ -75,7 +77,8 @@ def test_vjp_layer_grads_match_dense():
                  pocket_h, pk_frames.quats, pk_frames.trans)
     g_dense = jax.grad(loss(egnn_forward), argnums=argnums)(*diff_args)
     g_lane = jax.grad(
-        loss(lambda *a: egnn_forward_pallas_lane_vjp(*a, interpret=True)),
+        loss(lambda *a: egnn_forward_pallas_lane_vjp(
+            *a, interpret=True, g8=g8)),
         argnums=argnums,
     )(*diff_args)
 
@@ -93,10 +96,11 @@ def test_vjp_layer_grads_match_dense():
             )
 
 
-def test_train_step_pallas_lane_matches_xla():
-    """One full train step (fwd + loss + bwd + SGD) with
-    backend='pallas_lane' — gradients through BOTH layers' Pallas
-    backwards — tracks the XLA backend."""
+@pytest.mark.parametrize("lane_backend", ["pallas_lane", "g8"])
+def test_train_step_pallas_lane_matches_xla(lane_backend):
+    """One full train step (fwd + loss + bwd + SGD) with the lane
+    backends — gradients through BOTH layers' Pallas backwards — tracks
+    the XLA backend."""
     import optax
 
     from pmhc_tpu.data import synthetic_batch
@@ -116,7 +120,7 @@ def test_train_step_pallas_lane_matches_xla():
         return p, sums
 
     p_xla, s_xla = run("xla")
-    p_lane, s_lane = run("pallas_lane")
+    p_lane, s_lane = run(lane_backend)
     for name in s_xla:
         np.testing.assert_allclose(
             float(s_lane[name]), float(s_xla[name]), rtol=5e-4, err_msg=name)

@@ -29,7 +29,11 @@ def _injected(key, shape):
     return jax.vmap(lambda k: gen_noise(k, shape, CONFIG))(keys)
 
 
-def test_lane_sampler_matches_generic_with_injected_noise():
+import pytest
+
+
+@pytest.mark.parametrize("g8", [False, True])
+def test_lane_sampler_matches_generic_with_injected_noise(g8):
     model_config = ScoreNetworkConfig(
         noise_step_count=CONFIG.noise_step_count, backend="pallas_lane",
         lane_block=128,
@@ -45,7 +49,7 @@ def test_lane_sampler_matches_generic_with_injected_noise():
     )
     lane = sample_lane(
         params, batch, jax.random.key(0), CONFIG, model_config, tables,
-        injected_noise=inj, interpret=True,
+        injected_noise=inj, interpret=True, g8=g8,
     )
 
     np.testing.assert_allclose(

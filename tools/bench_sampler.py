@@ -45,20 +45,23 @@ def main():
     results = {}
     for backend in args.backends.split(","):
         # "lane_scan" = the lane-layout sampler (scan carry stays in the
-        # fused kernel's layout; pmhc_tpu/diffusion/sampler_lane.py)
+        # fused kernel's layout; pmhc_tpu/diffusion/sampler_lane.py);
+        # "g8_scan" = the same sampler running the geom8 group kernel
         mc = ScoreNetworkConfig(
             noise_step_count=args.T,
-            backend="pallas_lane" if backend == "lane_scan" else backend,
+            backend="pallas_lane"
+            if backend in ("lane_scan", "g8_scan") else backend,
         )
         params = init_score_network(jax.random.key(0), mc)
         from pmhc_tpu.models.nn import DEFAULT_PRECISION
 
         prec = None if args.bf16 else DEFAULT_PRECISION
-        if backend == "lane_scan":
+        if backend in ("lane_scan", "g8_scan"):
             from pmhc_tpu.diffusion.sampler_lane import sample_lane
 
             run = jax.jit(
-                lambda p, b, k: sample_lane(p, b, k, dc, mc, precision=prec)
+                lambda p, b, k, _g8=(backend == "g8_scan"): sample_lane(
+                    p, b, k, dc, mc, precision=prec, g8=_g8)
             )
         else:
             run = jax.jit(
