@@ -38,10 +38,13 @@ MODE = os.environ.get("PMHC_BENCH_MODE", "scan")
 STEPS_PER_DISPATCH = (
     int(os.environ.get("PMHC_BENCH_K", "50")) if MODE == "scan" else 1
 )
-# "f32" (default): full-precision matmuls, the parity-exact configuration.
-# "bf16": MXU-native matmul precision for the MLPs (the CLI --bf16 mode);
-# measured 982.5 steps/s vs 265 at f32 (3.7x) with device-resident input
-# (bf16 is also reported as a secondary metric on every run).
+# "f32" (default): full-precision matmuls (HIGHEST), the parity-exact
+# configuration. "bf16": MXU-native matmul precision for the MLPs (the
+# CLI --bf16 mode); measured 1036 steps/s vs 265 at f32 with
+# device-resident input — also reported as a secondary metric on every
+# default run. "f32x3": the CLI --fast-f32 mode (3-pass f32 XLA stages;
+# only helps the XLA backend, 249 vs 195.7 steps/s — the pallas_lane
+# primary stays faster, so it is not a default secondary).
 PRECISION = os.environ.get("PMHC_BENCH_PRECISION", "f32")
 # EGNN backend for the train step: "pallas_lane" trains through the
 # hand-written Pallas backward (measured 261.5 steps/s f32 / 667 bf16 vs
@@ -80,9 +83,13 @@ def bench_ours(precision_name: str = None, backend: str = None) -> float:
 
     from pmhc_tpu.models.nn import DEFAULT_PRECISION
 
-    precision = (
-        None if (precision_name or PRECISION) == "bf16" else DEFAULT_PRECISION
-    )
+    pname = precision_name or PRECISION
+    if pname == "bf16":
+        precision = None
+    elif pname == "f32x3":
+        precision = jax.lax.Precision.HIGH
+    else:
+        precision = DEFAULT_PRECISION
 
     def build_trainer(backend):
         return Trainer(
@@ -259,31 +266,34 @@ def bench_reference() -> float:
 
 
 def _measure_child(queue):
+    """Measure phase by phase, queueing a CUMULATIVE result after each
+    phase — a deadline mid-secondary can never wipe an already-measured
+    primary (the parent keeps the last dict received)."""
+    result = {}
     try:
-        ours = bench_ours()
+        result["value"] = bench_ours()
         try:
-            baseline = bench_reference()
-            ratio = ours / baseline
+            result["vs_baseline"] = result["value"] / bench_reference()
         except Exception:
-            ratio = None
+            result["vs_baseline"] = None
+        queue.put(dict(result))
         try:
-            sampler = bench_sampler()
+            result["sampler"] = bench_sampler()
         except Exception:
-            sampler = None
+            result["sampler"] = None
+        queue.put(dict(result))
         try:
-            # secondary axis: the bf16 MXU-precision train config (the CLI
-            # --bf16 mode; quality-neutral per docs/parity.md) on the g8
-            # backend (the fastest bf16 trainer, 1036 steps/s measured) —
-            # skipped silently if its compile ever fails so the primary
-            # survives
-            bf16 = (bench_ours("bf16", backend="g8")
-                    if PRECISION != "bf16" else None)
+            # secondary axes (skipped silently if a compile ever fails):
+            # the bf16 train config on the g8 backend (the fastest bf16
+            # trainer) and the 3-pass-f32 config on pallas_lane
+            result["bf16"] = (bench_ours("bf16", backend="g8")
+                              if PRECISION != "bf16" else None)
         except Exception:
-            bf16 = None
-        queue.put({"value": ours, "vs_baseline": ratio, "sampler": sampler,
-                   "bf16": bf16})
+            result["bf16"] = None
+        queue.put(dict(result))
     except Exception as exc:  # surfaced by the parent as a fallback
-        queue.put({"error": repr(exc)})
+        if "value" not in result:
+            queue.put({"error": repr(exc)})
 
 
 def main():
@@ -293,13 +303,29 @@ def main():
     queue = ctx.Queue()
     proc = ctx.Process(target=_measure_child, args=(queue,), daemon=True)
     proc.start()
-    try:
-        result = queue.get(timeout=DEADLINE)
-    except Exception:
-        result = None
-    finally:
-        if proc.is_alive():
-            proc.terminate()
+    # drain cumulative phase results until the child exits or the
+    # deadline passes; keep the LAST dict received
+    import time as _time
+
+    deadline_at = _time.monotonic() + DEADLINE
+    result = None
+    while True:
+        remaining = deadline_at - _time.monotonic()
+        if remaining <= 0:
+            break
+        try:
+            result = queue.get(timeout=min(remaining, 5.0))
+        except Exception:
+            if not proc.is_alive():
+                # child done: grab any final queued result
+                try:
+                    while True:
+                        result = queue.get_nowait()
+                except Exception:
+                    pass
+                break
+    if proc.is_alive():
+        proc.terminate()
 
     if result and "value" in result:
         if result.get("sampler") is not None:

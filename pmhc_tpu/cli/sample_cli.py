@@ -52,6 +52,11 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run MLP matmuls in backend-default (bf16 MXU) "
                         "precision — ~1.7x faster on v5e; geometry stays f32")
+    p.add_argument("--fast-f32", action="store_true",
+                   help="run XLA-stage matmuls as 3-pass f32 "
+                        "(lax.Precision.HIGH, ~1e-6 relative error) instead "
+                        "of the parity-exact ~6-pass HIGHEST; the Pallas "
+                        "kernels stay HIGHEST")
     return p
 
 
@@ -110,7 +115,9 @@ def main(argv=None) -> None:
 
     from pmhc_tpu.models.nn import DEFAULT_PRECISION
 
-    precision = None if args.bf16 else DEFAULT_PRECISION
+    precision = (None if args.bf16
+                 else jax.lax.Precision.HIGH if args.fast_f32
+                 else DEFAULT_PRECISION)
 
     if context_parallel:
         from pmhc_tpu.parallel import make_mesh

@@ -59,6 +59,13 @@ def build_parser() -> ArgumentParser:
                    help="directory for full-state Orbax checkpoints")
     p.add_argument("--bf16", action="store_true",
                    help="run MLP matmuls in backend-default (bf16 MXU) precision")
+    p.add_argument("--fast-f32", action="store_true",
+                   help="run XLA-stage matmuls as 3-pass f32 "
+                        "(lax.Precision.HIGH, ~1e-6 relative error) instead "
+                        "of the parity-exact ~6-pass HIGHEST — +27%% on the "
+                        "xla backend (249 vs 196 steps/s); the Pallas "
+                        "kernels stay HIGHEST (Mosaic lowers only "
+                        "DEFAULT/HIGHEST in-kernel)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "
@@ -140,7 +147,9 @@ def main(argv=None) -> None:
         train_config,
         mesh=mesh,
         params=params,
-        precision=None if args.bf16 else DEFAULT_PRECISION,
+        precision=(None if args.bf16
+                   else jax.lax.Precision.HIGH if args.fast_f32
+                   else DEFAULT_PRECISION),
         tensor_parallel=args.mesh_model > 1,
         context_parallel=context_parallel,
     )

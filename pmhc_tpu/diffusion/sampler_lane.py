@@ -218,7 +218,11 @@ def sample_lane(
         tables = ScheduleTables(config)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bf16 = precision is None
+    # kernel matmul mode: None -> bf16, HIGH -> 3-pass f32 (--fast-f32),
+    # else parity-exact f32-HIGHEST
+    bf16 = (True if precision is None
+            else "high" if precision == lax.Precision.HIGH
+            else False)
     T_steps = config.noise_step_count
 
     mask = batch["mask"]

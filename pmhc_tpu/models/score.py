@@ -151,11 +151,17 @@ def score_network_forward(
         )
 
         interpret = jax.default_backend() != "tpu"
+        # kernel matmul mode from the precision convention: None -> bf16
+        # (--bf16), lax.Precision.HIGH -> 3-pass f32 (--fast-f32),
+        # anything else -> parity-exact f32 (HIGHEST)
+        mm_mode = (True if precision is None
+                   else "high" if precision == jax.lax.Precision.HIGH
+                   else False)
 
         def layer(p, *args):
             return egnn_forward_pallas_lane_vjp(
                 p, *args, lane_block=config.lane_block, interpret=interpret,
-                bf16=precision is None,  # the CLI --bf16 convention
+                bf16=mm_mode,
                 g8=config.backend == "g8",
             )
     elif config.backend == "pallas":

@@ -61,6 +61,55 @@ def _dot(a, b):
     )
 
 
+def mm_maker(bf16):
+    """The kernel matmul family for one precision mode.
+
+    ``bf16`` is False (f32, precision=HIGHEST — ~6 MXU passes, the
+    parity-exact default), True (bf16 MXU inputs + f32 accumulation, the
+    --bf16 mode), or "high" (the --fast-f32 mode: 3-pass f32 on the XLA
+    side; INSIDE kernels Mosaic only lowers DEFAULT/HIGHEST dot
+    precisions, so "high" clamps to HIGHEST here — the kernels are
+    already exact and the --fast-f32 win comes from the XLA stages).
+    Returns (_mm, _mm0, _mmL): contract dim1 x dim0 / dim0 x dim0 /
+    dim1 x dim1 (lanes)."""
+    if bf16 is True:
+        def pair(a, b):
+            return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+        def _mm(a, b):
+            return lax.dot_general(
+                *pair(a, b), (((1,), (0,)), ((), ())),
+                preferred_element_type=F32)
+
+        def _mm0(a, b):
+            return lax.dot_general(
+                *pair(a, b), (((0,), (0,)), ((), ())),
+                preferred_element_type=F32)
+
+        def _mmL(a, b):
+            return lax.dot_general(
+                *pair(a, b), (((1,), (1,)), ((), ())),
+                preferred_element_type=F32)
+    else:
+        prec = lax.Precision.HIGHEST
+
+        def _mm(a, b):
+            return lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=F32,
+                precision=prec)
+
+        def _mm0(a, b):
+            return lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32,
+                precision=prec)
+
+        def _mmL(a, b):
+            return lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), preferred_element_type=F32,
+                precision=prec)
+    return _mm, _mm0, _mmL
+
+
 def _qmul_rows(q1, q2):
     """Hamilton product on [4, L] arrays (components on sublane rows)."""
     w1, x1, y1, z1 = q1[0:1], q1[1:2], q1[2:3], q1[3:4]
@@ -76,22 +125,17 @@ def _qmul_rows(q1, q2):
     )
 
 
-def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
+def _make_kernel(k: int, bf16=False, unroll: int = 4):
     """Kernel for cells of k consecutive query residues x all batches.
 
-    ``bf16``: run the MLP matmuls with bf16 MXU inputs and f32
+    ``bf16``: True runs the MLP matmuls with bf16 MXU inputs and f32
     accumulation (the same trade as the XLA path's --bf16 mode: one MXU
-    pass instead of the ~6 of precision=HIGHEST). Geometry (quaternion
-    algebra, distances, softmax, sin/cos composition) stays f32."""
+    pass instead of the ~6 of precision=HIGHEST); the string "high"
+    selects 3-pass f32 (lax.Precision.HIGH — ~1e-6 relative error, the
+    --fast-f32 mode). Geometry (quaternion algebra, distances, softmax,
+    sin/cos composition) stays f32 in every mode."""
 
-    if bf16:
-        def _mm(a, b):
-            return lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=F32,
-            )
-    else:
-        _mm = _dot
+    _mm, _mm0, _ = mm_maker(bf16)
 
     def _kernel(
         # per-node blocks (lane dim = cell's k*Bp lanes, n-major)
@@ -154,18 +198,7 @@ def _make_kernel(k: int, bf16: bool = False, unroll: int = 4):
             # edge block [k, T] x S [k, BNB], contracting the k rows
             # (dim0 x dim0 — the MXU-native lhsT orientation). S is exact
             # 0/1, so bf16 mode runs it as one MXU pass like the MLPs.
-            if bf16:
-                edge_exp = lax.dot_general(
-                    edge_ref[np_i].astype(jnp.bfloat16),
-                    s_mat.astype(jnp.bfloat16),
-                    (((0,), (0,)), ((), ())), preferred_element_type=F32,
-                )
-            else:
-                edge_exp = lax.dot_general(
-                    edge_ref[np_i], s_mat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=F32,
-                    precision=lax.Precision.HIGHEST,
-                )  # [T, BNB]
+            edge_exp = _mm0(edge_ref[np_i], s_mat)  # [T, BNB]
             pre = a_i + expand(aj_ref[np_i]) + edge_exp
             msg = _mm(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
 

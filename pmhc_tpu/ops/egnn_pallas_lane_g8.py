@@ -54,31 +54,12 @@ F32 = jnp.float32
 G = 8  # neighbours per group (the full sublane height of a vreg)
 
 
-def _mm_maker(bf16: bool):
-    if bf16:
-        def _mm(a, b):
-            return lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=F32,
-            )
+def _mm_maker(bf16):
+    """3-mode matmul family (False / True / "high") — see
+    egnn_pallas_lane.mm_maker."""
+    from pmhc_tpu.ops.egnn_pallas_lane import mm_maker
 
-        def _mm0(a, b):
-            return lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())), preferred_element_type=F32,
-            )
-    else:
-        def _mm(a, b):
-            return lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())), preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )
-
-        def _mm0(a, b):
-            return lax.dot_general(
-                a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )
+    _mm, _mm0, _ = mm_maker(bf16)
     return _mm, _mm0
 
 

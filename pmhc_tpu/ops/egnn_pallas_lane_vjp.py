@@ -43,7 +43,7 @@ from pmhc_tpu.geometry import (
     quat_multiply,
     torch_normalize,
 )
-from pmhc_tpu.ops.egnn_pallas_lane import _dot, _qmul_rows
+from pmhc_tpu.ops.egnn_pallas_lane import _dot, _qmul_rows, mm_maker
 
 N_TORSIONS = 7
 INFINITY = 1e9
@@ -62,38 +62,9 @@ def _qconj(q):
     return jnp.concatenate((q[0:1], -q[1:]), axis=0)
 
 
-def _mm_maker(bf16):
-    if bf16:
-        def _mm(a, b):
-            return lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=F32,
-            )
-        def _mm0(a, b):  # contract dim0 x dim0
-            return lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())), preferred_element_type=F32,
-            )
-        def _mmL(a, b):  # contract LANES: [C, L] x [C', L] -> [C, C']
-            return lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())), preferred_element_type=F32,
-            )
-    else:
-        _mm = _dot
-
-        def _mm0(a, b):
-            return lax.dot_general(
-                a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )
-
-        def _mmL(a, b):
-            return lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())), preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )
-    return _mm, _mm0, _mmL
+# the 3-mode kernel matmul family (False / True / "high") lives with the
+# forward kernel
+_mm_maker = mm_maker
 
 
 def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
@@ -265,19 +236,10 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
         def collapse(x):
             """[C, BNB] -> [C, Bp]: sum over the k query tiles (the
             transpose of ``expand``), as one lane-contraction matmul.
-            j_mat is exact 0/1 (bf16-representable), so in bf16 mode this
-            runs one MXU pass like every other loop matmul instead of
-            f32-HIGHEST's ~6 — it only rounds the cotangent operand."""
-            if bf16:
-                return lax.dot_general(
-                    x.astype(jnp.bfloat16), j_mat.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())), preferred_element_type=F32,
-                )
-            return lax.dot_general(
-                x, j_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )
+            j_mat is exact 0/1 (bf16-representable), so the fast modes
+            run it like every other loop matmul instead of f32-HIGHEST's
+            ~6 passes — only the cotangent operand rounds."""
+            return _mm(x, j_mat)
 
         def one(np_i, carry):
             (dai, dtor_node, dqi, dti, dw) = carry
@@ -660,16 +622,7 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int):
 
         def collapse(x):
             """[C, BNB] -> [C, Bp] (see _make_loop_bwd.collapse)."""
-            if bf16:
-                return lax.dot_general(
-                    x.astype(jnp.bfloat16), j_mat.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())), preferred_element_type=F32,
-                )
-            return lax.dot_general(
-                x, j_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=lax.Precision.HIGHEST,
-            )
+            return _mm(x, j_mat)
 
         def rowsum(x):
             return jnp.sum(x, axis=1, keepdims=True)
@@ -1152,7 +1105,9 @@ def egnn_forward_pallas_lane_vjp(
     fp = params["feature"]
     from pmhc_tpu.models import nn as _nn
 
-    prec = None if bf16 else lax.Precision.HIGHEST
+    prec = (None if bf16 is True
+            else lax.Precision.HIGH if bf16 == "high"
+            else lax.Precision.HIGHEST)
     feat_pre = (
         _nn.linear_block(fp["lin1"], peptide_features, 0, H, prec)
         + _nn.linear_block(fp["lin1"], msg_sum, H, M, prec)

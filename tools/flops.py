@@ -67,14 +67,14 @@ def main():
     # measured numbers from docs/status.md (one v5e chip)
     measured = [
         # (name, batch, steps_per_sec, precision, kind)
-        # pallas_lane backend, 2026-08-17 (docs/status.md round-2 table)
+        # pallas_lane / g8 backends, 2026-08-17 (docs/status.md tables)
         ("train f32 B=64", 64, 261.5, "f32", "train"),
-        ("train bf16 B=64", 64, 982.5, "bf16", "train"),
+        ("train bf16 B=64 (g8)", 64, 1036.4, "bf16", "train"),
         ("train f32 B=1024", 1024, 17500 / 1024, "f32", "train"),
         ("train bf16 B=1024", 1024, 61100 / 1024, "bf16", "train"),
         ("sample f32 B=64 (71.6/s)", 64, 71.6 / 64 * 1000, "f32", "fwd"),
-        ("sample bf16 B=64 (187/s)", 64, 187.4 / 64 * 1000, "bf16", "fwd"),
-        ("sample bf16 B=256 (215/s)", 256, 215.0 / 256 * 1000, "bf16", "fwd"),
+        ("sample bf16 B=64 (g8, 266.7/s)", 64, 266.7 / 64 * 1000, "bf16", "fwd"),
+        ("sample bf16 B=256 (g8, 317/s)", 256, 317.0 / 256 * 1000, "bf16", "fwd"),
     ]
     for name, b, per_sec, prec, kind in measured:
         flops = (3 if kind == "train" else 1) * forward_flops(b)
