@@ -63,7 +63,7 @@ DEADLINE = int(os.environ.get("PMHC_BENCH_DEADLINE", "2400"))
 # barriers, scan mode K=50, device-resident input, best of 5 windows
 # (vs_baseline used the in-situ torch baseline re-measured on a loaded
 # host that run — the quiet-host torch baseline is ~0.44 steps/s)
-LAST_VERIFIED = {"steps_per_sec": 264.985, "vs_baseline": 1428.91}
+LAST_VERIFIED = {"steps_per_sec": 265.423, "vs_baseline": 1431.27}
 
 
 def bench_ours(precision_name: str = None, backend: str = None) -> float:

@@ -118,17 +118,29 @@ def test_train_cli_bf16(data_dir, tmp_path):
     assert os.path.isfile(model_path)
 
 
-@pytest.mark.parametrize("backend", ["blockwise", "pallas"])
+@pytest.mark.parametrize("backend", ["blockwise", "pallas", "g8"])
 def test_train_cli_backend(data_dir, tmp_path, backend):
     # alternative EGNN layer implementations train end-to-end; on CPU the
-    # pallas backend auto-falls-back to the pallas interpreter
-    # (pmhc_tpu/models/score.py) and trains through its custom VJP
+    # pallas backends auto-fall-back to the pallas interpreter
+    # (pmhc_tpu/models/score.py) and train through their custom VJPs
     from pmhc_tpu.cli.train_cli import main
 
     model_path = str(tmp_path / f"model_{backend}.pth")
     main([
         str(data_dir / "train.hdf5"), "1", model_path,
         "-T", "8", "--batch-size", "2", "--backend", backend,
+    ])
+    assert os.path.isfile(model_path)
+
+
+def test_train_cli_fast_f32(data_dir, tmp_path):
+    # --fast-f32: XLA-stage matmuls at lax.Precision.HIGH
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_ff32.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "2", "--fast-f32",
     ])
     assert os.path.isfile(model_path)
 
