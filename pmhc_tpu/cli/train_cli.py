@@ -201,6 +201,44 @@ def main(argv=None) -> None:
 
     metrics_path = args.output_model.replace(".pth", ".csv")
     K = max(1, args.steps_per_dispatch)
+
+    if args.device_data and K > 1 and mesh is None:
+        # fully fused device pipeline: the scan body gathers each batch
+        # from the resident dataset, so K steps + K gathers = ONE
+        # dispatch; only the [K, B] index matrix crosses the link
+        # (make_train_scan_device). Leftover rows fall back to the
+        # regular per-batch path.
+        import numpy as np
+
+        n = len(dataset.entry_names)
+        B = args.batch_size
+        for epoch_index in range(args.epoch_count):
+            _log.debug("starting epoch %d (fused device pipeline)", epoch_index)
+            metrics = MetricsRecord()
+            perm = np.random.default_rng(args.seed + epoch_index).permutation(n)
+            nfull = n // B
+            idx_full = perm[: nfull * B].reshape(nfull, B)
+            done = 0
+            for start in range(0, nfull, K):
+                rows = idx_full[start:start + K]
+                trainer.train_indices(dataset.arrays, rows, metrics)
+                done += len(rows)
+                if done % 100 < len(rows) and done >= 100:
+                    if metrics.has_nan():
+                        raise RuntimeError("NaN loss")
+                    save_model()
+            if nfull * B < n:  # partial final batch
+                trainer.train_batch(dataset.get_batch(
+                    list(perm[nfull * B:])), metrics)
+            if metrics.has_nan():
+                raise RuntimeError("NaN loss")
+            save_model()
+            metrics.save(metrics_path, epoch_index)
+            _log.info("epoch %d: %s", epoch_index, metrics.mean())
+        if ckpt_mgr is not None:
+            ckpt_mgr.wait()
+        return
+
     for epoch_index in range(args.epoch_count):
         _log.debug("starting epoch %d", epoch_index)
         metrics = MetricsRecord()

@@ -158,5 +158,11 @@ class DeviceDataset:
         out["name"] = [self.entry_names[i] for i in indices]
         return out
 
+    @property
+    def arrays(self):
+        """The resident array pytree (no names) — for fused
+        gather-in-step training (Trainer.train_indices)."""
+        return self._data
+
     def get_protein_positions(self, entry_names: List[str]):
         return self._base.get_protein_positions(entry_names)

@@ -79,3 +79,63 @@ def test_train_cli_device_data(tmp_path):
     model = str(tmp_path / "m.pth")
     main([h5, "1", model, "-T", "8", "--batch-size", "3", "--device-data"])
     assert os.path.isfile(model)
+
+
+def test_train_indices_matches_per_batch_gather(tmp_path):
+    """The fused gather-in-scan path (Trainer.train_indices over the
+    resident arrays) matches per-batch get_batch + train_batch exactly
+    (same RNG advance per step)."""
+    from pmhc_tpu.data import DeviceDataset, PackedDataset
+    from pmhc_tpu.diffusion import DiffusionConfig
+    from pmhc_tpu.models import ScoreNetworkConfig
+    from pmhc_tpu.train import Trainer, TrainConfig
+
+    h5 = str(tmp_path / "t.hdf5")
+    write_synthetic_hdf5(h5, n_entries=8, peptide_lengths=(9, 10), seed=4)
+    dev = DeviceDataset(PackedDataset(h5))
+    idx = np.array([[0, 3, 5, 1], [7, 2, 4, 6]], dtype=np.int32)
+
+    mc = ScoreNetworkConfig()
+    dc = DiffusionConfig(noise_step_count=10)
+
+    t_seq = Trainer(mc, dc, TrainConfig(seed=11))
+    seq_losses = [
+        float(t_seq.train_batch(dev.get_batch(list(row)))["total loss"])
+        for row in idx
+    ]
+
+    t_fused = Trainer(mc, dc, TrainConfig(seed=11))
+    sums = t_fused.train_indices(dev.arrays, idx)
+
+    # per-step losses must match tightly: same data, same RNG advance
+    # (loss 2 is computed on the post-step-1 params, so this also pins
+    # the step-1 update)
+    np.testing.assert_allclose(
+        np.asarray(sums["total loss"]), np.asarray(seq_losses), rtol=1e-5)
+
+    # params: the gather fused into the scan program changes float
+    # reassociation at the ulp level, and Adam's 1/sqrt(v) normalization
+    # amplifies near-zero-gradient ulp flips to O(lr)=1e-3 per step —
+    # measured max diff 5.3e-4 after 2 steps
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(t_seq.params),
+                    jax.tree_util.tree_leaves(t_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    assert t_fused.global_step == 2
+
+
+def test_train_cli_device_data_fused(tmp_path):
+    """--device-data + --steps-per-dispatch selects the fused device
+    pipeline (gather + K steps in one dispatch) end-to-end."""
+    import os
+
+    from pmhc_tpu.cli.train_cli import main
+
+    h5 = str(tmp_path / "train.hdf5")
+    write_synthetic_hdf5(h5, n_entries=7, peptide_lengths=(9,), seed=0)
+    model = str(tmp_path / "mf.pth")
+    main([h5, "2", model, "-T", "8", "--batch-size", "2", "--device-data",
+          "--steps-per-dispatch", "2"])
+    assert os.path.isfile(model)
+    assert os.path.isfile(model.replace(".pth", ".csv"))
