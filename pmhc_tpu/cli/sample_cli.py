@@ -33,15 +33,18 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default=None,
                    help="override the default <stem>-sampled output directory")
-    p.add_argument("--backend", default="xla",
-                   choices=("xla", "pallas", "pallas_lane", "g8",
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "xla", "pallas", "pallas_lane", "g8",
                             "blockwise", "cp", "ring"),
-                   help="EGNN layer implementation: XLA block-matmuls, the "
-                        "fused Pallas TPU kernels (pallas_lane = the "
-                        "lane-packed winner at f32; g8 = its "
-                        "8-neighbour-grouped variant, fastest at --bf16; "
-                        "either way the sampler scan stays in kernel "
-                        "layout end-to-end), online-softmax neighbour "
+                   help="EGNN layer implementation. 'auto' (default) "
+                        "picks the fastest measured config for the "
+                        "platform: on TPU the fused Pallas kernels "
+                        "(g8 with --bf16, pallas_lane at f32 — the "
+                        "sampler scan stays in kernel layout end-to-end; "
+                        "all sampling distributions match xla within "
+                        "tolerance, tools/rmsd_backends.py), elsewhere "
+                        "xla. Explicit choices: XLA block-matmuls, the "
+                        "fused kernels, online-softmax neighbour "
                         "streaming, or context parallelism (cp/ring "
                         "shard the neighbour axis over --mesh-context "
                         "devices)")
@@ -85,6 +88,14 @@ def main(argv=None) -> None:
     if context_parallel and backend not in ("cp", "ring"):
         backend = "cp"
         _log.info("--mesh-context %d: selecting backend 'cp'", args.mesh_context)
+    elif backend == "auto":
+        # fastest measured config per platform (docs/status.md tables);
+        # distribution-equivalent to xla (tools/rmsd_backends.py)
+        if jax.default_backend() == "tpu":
+            backend = "g8" if args.bf16 else "pallas_lane"
+        else:
+            backend = "xla"
+        _log.info("backend 'auto' -> %s", backend)
 
     model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
     diffusion_config = DiffusionConfig(noise_step_count=args.T)
