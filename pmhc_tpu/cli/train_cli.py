@@ -218,15 +218,19 @@ def main(argv=None) -> None:
             perm = np.random.default_rng(args.seed + epoch_index).permutation(n)
             nfull = n // B
             idx_full = perm[: nfull * B].reshape(nfull, B)
+            nk = (nfull // K) * K  # full K-groups only: a shorter final
+            # group would retrace the whole K-step scan (minutes)
             done = 0
-            for start in range(0, nfull, K):
-                rows = idx_full[start:start + K]
-                trainer.train_indices(dataset.arrays, rows, metrics)
-                done += len(rows)
-                if done % 100 < len(rows) and done >= 100:
+            for start in range(0, nk, K):
+                trainer.train_indices(
+                    dataset.arrays, idx_full[start:start + K], metrics)
+                done += K
+                if done % 100 < K and done >= 100:
                     if metrics.has_nan():
                         raise RuntimeError("NaN loss")
                     save_model()
+            for row in idx_full[nk:]:  # leftover batches, one at a time
+                trainer.train_batch(dataset.get_batch(list(row)), metrics)
             if nfull * B < n:  # partial final batch
                 trainer.train_batch(dataset.get_batch(
                     list(perm[nfull * B:])), metrics)

@@ -223,6 +223,12 @@ def sample_lane(
     bf16 = (True if precision is None
             else "high" if precision == lax.Precision.HIGH
             else False)
+    # the XLA-stage matmuls (static neighbour projections + the per-step
+    # aj2 projection) follow the same mode: DEFAULT (1-pass bf16) in
+    # bf16 mode, 3-pass in --fast-f32, else HIGHEST
+    xla_prec = (lax.Precision.DEFAULT if bf16 is True
+                else lax.Precision.HIGH if bf16 == "high"
+                else _HIGHEST)
     T_steps = config.noise_step_count
 
     mask = batch["mask"]
@@ -258,14 +264,14 @@ def sample_lane(
         """Static neighbour pre-activation h @ W1[H:2H] -> [*, T, Bp]."""
         wj = jnp.asarray(layer_params["message"]["lin1"]["w"], F32)[H:2 * H]
         return nbr_to_lane(
-            jnp.einsum("bph,ht->bpt", h_nbr, wj, precision=_HIGHEST), Bp
+            jnp.einsum("bph,ht->bpt", h_nbr, wj, precision=xla_prec), Bp
         )
 
     # layer 1 peptide neighbour term: static 22-dim part + time row
     w1m = jnp.asarray(params["gnn1"]["message"]["lin1"]["w"], F32)
     wj1 = w1m[H1:2 * H1]                                   # [23, T]
     aj1_pep_static = nbr_to_lane(
-        jnp.einsum("bnh,ht->bnt", feats22, wj1[:22], precision=_HIGHEST), Bp
+        jnp.einsum("bnh,ht->bnt", feats22, wj1[:22], precision=xla_prec), Bp
     )                                                      # [N, T, Bp]
     wj1_time = wj1[22].reshape(1, -1, 1)                   # [1, T, 1]
     aj1_pocket = nbr_proj(pocket_h, params["gnn1"], H1)    # [P, T, Bp]
@@ -332,7 +338,7 @@ def sample_lane(
         aj2_pep = jnp.transpose(
             lax.dot_general(
                 wj2_t, h2, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32, precision=_HIGHEST,
+                preferred_element_type=F32, precision=xla_prec,
             ).reshape(TR, N, Bp),
             (1, 0, 2),
         )

@@ -53,14 +53,6 @@ INFINITY = 1e9
 F32 = jnp.float32
 
 
-def _dot(a, b):
-    """[out, in] @ [in, BNB] -> [out, BNB] with f32 accumulation."""
-    return lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=F32,
-        precision=lax.Precision.HIGHEST,
-    )
-
-
 def mm_maker(bf16):
     """The kernel matmul family for one precision mode.
 
@@ -481,6 +473,16 @@ def lane_s_mat(k: int, Bp: int) -> jnp.ndarray:
     return (
         jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 1) // Bp
         == jax.lax.broadcasted_iota(jnp.int32, (k, k * Bp), 0)
+    ).astype(F32)
+
+
+def lane_j_mat(k: int, Bp: int) -> jnp.ndarray:
+    """Lane-collapse matrix (the transpose of ``lane_s_mat``'s
+    expansion): J[n*Bp + b, b'] = (b == b')."""
+    BNB = k * Bp
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (BNB, Bp), 0) % Bp
+        == jax.lax.broadcasted_iota(jnp.int32, (BNB, Bp), 1)
     ).astype(F32)
 
 

@@ -46,7 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pmhc_tpu.geometry import RigidArray
-from pmhc_tpu.ops.egnn_pallas_lane import lane_geometry, pack_lane_weights
+from pmhc_tpu.ops.egnn_pallas_lane import (
+    _qmul_rows, lane_geometry, pack_lane_weights,
+)
 
 N_TORSIONS = 7
 INFINITY = 1e9
@@ -228,7 +230,11 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
 
             # ---- rotation geometry, component-major ------------------
             qj_cm = rep(qjg_cm_ref[g])                    # [32, BNB]
-            sq = _mm(rsq, jnp.square(qj_cm))              # [8, BNB]
+            # exact-zero guard: batch-PADDING lanes carry zero quats and
+            # 0/0 NaNs would trip jax_debug_nans (and persist in the g8
+            # sampler's scan carry) even though padded lanes are sliced
+            # off — same guard as the VJP twin (_g8_ctx)
+            sq = jnp.maximum(_mm(rsq, jnp.square(qj_cm)), 1e-30)  # [8, BNB]
             conj = jnp.concatenate((qj_cm[0:8], -qj_cm[8:32]), axis=0)
             inv_cm = conj / _mm(t4, sq)                   # [32, BNB]
             local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
@@ -315,20 +321,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             jnp.sqrt(jnp.sum(gd * gd, axis=0, keepdims=True)), 1e-12
         )
 
-        def qmul_rows(q1, q2):
-            w1, x1, y1, z1 = q1[0:1], q1[1:2], q1[2:3], q1[3:4]
-            w2, x2, y2, z2 = q2[0:1], q2[1:2], q2[2:3], q2[3:4]
-            return jnp.concatenate(
-                (
-                    w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-                    w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-                    w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-                    w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-                ),
-                axis=0,
-            )
-
-        upd_q = qmul_rows(gd, q_i)
+        upd_q = _qmul_rows(gd, q_i)
         out_q_ref[:] = upd_q / jnp.maximum(
             jnp.sqrt(jnp.sum(upd_q * upd_q, axis=0, keepdims=True)), 1e-12
         )

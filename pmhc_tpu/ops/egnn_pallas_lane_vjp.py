@@ -43,7 +43,7 @@ from pmhc_tpu.geometry import (
     quat_multiply,
     torch_normalize,
 )
-from pmhc_tpu.ops.egnn_pallas_lane import _dot, _qmul_rows, mm_maker
+from pmhc_tpu.ops.egnn_pallas_lane import _qmul_rows, mm_maker
 
 N_TORSIONS = 7
 INFINITY = 1e9
@@ -995,29 +995,17 @@ def egnn_forward_pallas_lane_vjp(
     M = params["message"]["lin2"]["b"].shape[0]
     k, Bp, BNB, ncells = _cell_geometry(B, N, lane_block)
 
-    def node_t(x):
-        x = x.reshape(B, N, -1)
-        if Bp != B:
-            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        return jnp.transpose(x, (2, 1, 0)).reshape(-1, N * Bp)
+    # shared lane-layout helpers (egnn_pallas_lane.py) — the layouts MUST
+    # stay in lockstep with the kernels, so there is one implementation
+    from pmhc_tpu.ops.egnn_pallas_lane import (
+        lane_j_mat, lane_msg_mask, lane_s_mat, lane_to_node, nbr_to_lane,
+        node_to_lane,
+    )
 
-    def node_back(x):
-        return jnp.transpose(x.reshape(-1, N, Bp), (2, 1, 0))[:B]
-
-    def nbr_t(x):
-        if Bp != B:
-            x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        return jnp.transpose(x, (1, 2, 0))
-
-    pep_mask = peptide_mask.astype(F32)
-    pk_mask = pocket_mask.astype(F32)
-    not_self = 1.0 - jnp.eye(N, dtype=F32)
-    msg_mask = jnp.concatenate(
-        (pep_mask[:, :, None] * pep_mask[:, None, :] * not_self,
-         pep_mask[:, :, None] * pk_mask[:, None, :]), axis=-1)
-    if Bp != B:
-        msg_mask = jnp.pad(msg_mask, ((0, Bp - B), (0, 0), (0, 0)))
-    mask3 = jnp.transpose(msg_mask, (2, 1, 0)).reshape(NP, 1, N * Bp)
+    node_t = lambda x: node_to_lane(x, Bp)
+    node_back = lambda x: lane_to_node(x, B, Bp)
+    nbr_t = lambda x: nbr_to_lane(x, Bp)
+    mask3 = lane_msg_mask(peptide_mask, pocket_mask, Bp)
 
     h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
     q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
@@ -1036,14 +1024,8 @@ def egnn_forward_pallas_lane_vjp(
     edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))
     edge3 = jnp.transpose(edge_full, (1, 0, 2))          # [NP, N, T]
 
-    s_mat = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, BNB), 1) // Bp
-        == jax.lax.broadcasted_iota(jnp.int32, (k, BNB), 0)
-    ).astype(F32)
-    j_mat = (
-        jax.lax.broadcasted_iota(jnp.int32, (BNB, Bp), 0) % Bp
-        == jax.lax.broadcasted_iota(jnp.int32, (BNB, Bp), 1)
-    ).astype(F32)
+    s_mat = lane_s_mat(k, Bp)
+    j_mat = lane_j_mat(k, Bp)
 
     w1a = jnp.asarray(params["attention"]["lin1"]["w"], F32)
     w1r = jnp.asarray(params["rotation"]["lin1"]["w"], F32)
