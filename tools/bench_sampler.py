@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("-T", type=int, default=1000)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--backends", default="xla,pallas")
+    ap.add_argument("--backends", default="xla,lane_scan,g8_scan")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MXU matmuls for the MLPs (geometry stays f32)")
     args = ap.parse_args()
