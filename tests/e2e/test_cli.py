@@ -212,3 +212,33 @@ def test_sample_cli_cp_mesh(data_dir, tmp_path):
         if l.startswith("ATOM")
     ])
     assert np.isfinite(coords).all()
+
+
+def test_sample_cli_maxlen_peptide(tmp_path):
+    """A peptide of exactly maxlen=16 samples and writes a valid PDB.
+
+    The REFERENCE writer has a latent IndexError here (pdb.py:145 reads
+    mask[b, r+1] before the bounds check — SURVEY.md 3.5.8); ours fixes
+    it deliberately, so the full-length case needs explicit coverage."""
+    from pmhc_tpu.cli.sample_cli import main
+    from pmhc_tpu.data import write_synthetic_hdf5
+
+    h5 = str(tmp_path / "full.hdf5")
+    write_synthetic_hdf5(h5, n_entries=2, peptide_lengths=(16,), seed=6)
+    out_dir = str(tmp_path / "sampled16")
+    main([
+        "/root/reference/model.pth", h5,
+        "-T", "4", "--batch-size", "2", "--output-dir", out_dir,
+    ])
+    pdb = os.path.join(out_dir, sorted(os.listdir(out_dir))[0])
+    atom_lines = [l for l in open(pdb).read().splitlines()
+                  if l.startswith("ATOM")]
+    p_res = {int(l[22:26]) for l in atom_lines if l[21] == "P"}
+    assert max(p_res) == 16  # all 16 residues present
+    p_names = [l[12:16].strip() for l in atom_lines if l[21] == "P"]
+    assert "OXT" in p_names  # terminal oxygen placed on residue 16
+    coords = np.array(
+        [[float(l[30:38]), float(l[38:46]), float(l[46:54])]
+         for l in atom_lines]
+    )
+    assert np.isfinite(coords).all()
