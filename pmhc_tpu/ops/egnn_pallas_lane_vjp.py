@@ -29,6 +29,7 @@ the dense XLA layer).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -961,7 +962,7 @@ def egnn_forward_pallas_lane_vjp(
     # at 64 (BNB8 <= 8192 keeps the group backward under ~50 MB VMEM).
     CHUNK = 64 if g8 else 128
     if g8:
-        unroll = 1
+        unroll = int(os.environ.get("PMHC_G8_UNROLL", "1"))
     if B > CHUNK:
         pad = (-B) % CHUNK
         def padb(x):
