@@ -60,10 +60,10 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 DEADLINE = int(os.environ.get("PMHC_BENCH_DEADLINE", "2400"))
 # measured 2026-08-16 on this chip (v5e via axon), batch 64, T=1000,
 # backend pallas_lane (fwd + hand-written bwd kernels), device_get
-# barriers, scan mode K=50, device-resident input, best of 5 windows
-# (vs_baseline used the in-situ torch baseline re-measured on a loaded
-# host that run — the quiet-host torch baseline is ~0.44 steps/s)
-LAST_VERIFIED = {"steps_per_sec": 265.423, "vs_baseline": 1431.27}
+# barriers, scan mode K=50, device-resident input, best of 5 windows;
+# vs_baseline is the CONSERVATIVE ratio against the quiet-host torch
+# baseline floor (0.444 steps/s), not a loaded-host window
+LAST_VERIFIED = {"steps_per_sec": 265.423, "vs_baseline": 597.8}
 
 
 def bench_ours(precision_name: str = None, backend: str = None) -> float:
@@ -222,12 +222,79 @@ def bench_sampler() -> float:
     return best
 
 
+# Fastest torch-reference step rate ever observed on this machine
+# (quiet host, 2026-08-16). The live re-measurement below is taken in the
+# SAME window as the pmhc_tpu measurement, and the ratio uses the FASTEST
+# baseline available (live vs this floor vs the cache), so a congested
+# host can only make vs_baseline SMALLER, never inflate it
+# (VERDICT r2 "Next round" #9).
+BASELINE_QUIET_HOST_FLOOR = 0.444
+
+
+def bench_end_to_end() -> float:
+    """Third metric: END-TO-END examples/s including the data pipeline —
+    the fused device pipeline the train CLI selects with
+    ``--device-data --steps-per-dispatch K`` (batches gathered from the
+    device-resident dataset INSIDE the training scan; only the [K, B]
+    index matrix crosses the host->device link per dispatch). bf16,
+    batch 1024, backend pallas_lane — the configuration of the 56.9k
+    examples/s claim in docs/status.md."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmhc_tpu.data import synthetic_batch
+    from pmhc_tpu.diffusion import DiffusionConfig
+    from pmhc_tpu.models import ScoreNetworkConfig
+    from pmhc_tpu.train import Trainer, TrainConfig
+
+    N_ENTRIES, B, K = 4096, 1024, 8
+    trainer = Trainer(
+        ScoreNetworkConfig(backend="pallas_lane"), DiffusionConfig(),
+        TrainConfig(seed=0), precision=None,  # bf16 MXU matmuls
+    )
+    host = synthetic_batch(batch_size=N_ENTRIES, seed=0, as_jax=False)
+    data = jax.device_put({k: v for k, v in host.items() if k != "name"})
+
+    rng = np.random.default_rng(0)
+
+    def epoch_indices(epoch):
+        return rng.permutation(N_ENTRIES)[: (N_ENTRIES // B) * B].reshape(-1, B)
+
+    # warmup (compiles the K-step fused scan)
+    idx = np.concatenate([epoch_indices(0), epoch_indices(1)])[:K]
+    trainer.train_indices(data, idx)
+    np.asarray(trainer.params["gnn1"]["message"]["lin1"]["b"])
+
+    best = 0.0
+    for rep in range(3):
+        idxs = [
+            np.concatenate([epoch_indices(2 * rep + 2), epoch_indices(2 * rep + 3)])[
+                i : i + K
+            ]
+            for i in range(0, 8, K)
+        ]
+        start = time.perf_counter()
+        for idx in idxs:
+            trainer.train_indices(data, idx)
+        np.asarray(trainer.params["gnn1"]["message"]["lin1"]["b"])
+        elapsed = time.perf_counter() - start
+        best = max(best, sum(i.shape[0] * i.shape[1] for i in idxs) / elapsed)
+    return best
+
+
 def bench_reference() -> float:
-    """Measure the torch reference train step on this machine (cached:
-    the reference does not change between rounds)."""
+    """Measure the torch reference train step on this machine, live, in
+    the same window as the pmhc_tpu measurement. Returns the most
+    favorable-to-the-reference rate seen (live, cache, quiet-host floor);
+    the cache keeps the best across rounds."""
+    cached = 0.0
     if os.path.isfile(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            return json.load(f)["steps_per_sec"]
+        try:
+            with open(BASELINE_CACHE) as f:
+                cached = float(json.load(f)["steps_per_sec"])
+        except Exception:
+            cached = 0.0
 
     import numpy as np
     import torch
@@ -258,10 +325,11 @@ def bench_reference() -> float:
     for _ in range(BASELINE_ITERS):
         dm.optimize(fresh_batch(), MetricsRecord())
     elapsed = time.perf_counter() - start
-    steps_per_sec = BASELINE_ITERS / elapsed
+    live = BASELINE_ITERS / elapsed
 
+    steps_per_sec = max(live, cached, BASELINE_QUIET_HOST_FLOOR)
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"steps_per_sec": steps_per_sec}, f)
+        json.dump({"steps_per_sec": steps_per_sec, "live": live}, f)
     return steps_per_sec
 
 
@@ -290,6 +358,12 @@ def _measure_child(queue):
                               if PRECISION != "bf16" else None)
         except Exception:
             result["bf16"] = None
+        queue.put(dict(result))
+        try:
+            # loader-inclusive throughput (fused device pipeline)
+            result["end_to_end"] = bench_end_to_end()
+        except Exception:
+            result["end_to_end"] = None
         queue.put(dict(result))
     except Exception as exc:  # surfaced by the parent as a fallback
         if "value" not in result:
@@ -341,6 +415,13 @@ def main():
                 "metric": "train_steps_per_sec_bf16",
                 "value": round(result["bf16"], 3),
                 "unit": "steps/s (--bf16 MXU precision, batch 64)",
+            }))
+        if result.get("end_to_end") is not None:
+            print(json.dumps({
+                "metric": "end_to_end_examples_per_sec",
+                "value": round(result["end_to_end"], 1),
+                "unit": "examples/s (loader-inclusive fused device "
+                        "pipeline, bf16, batch 1024)",
             }))
         out = {
             "metric": "train_steps_per_sec",

@@ -95,7 +95,13 @@ def main(argv=None) -> None:
             backend = "g8" if args.bf16 else "pallas_lane"
         else:
             backend = "xla"
-        _log.info("backend 'auto' -> %s", backend)
+        _log.info(
+            "backend 'auto' -> %s. Note: individual sampled TRAJECTORIES "
+            "differ across backends/platforms (reverse diffusion amplifies "
+            "float reduction-order differences); the sample DISTRIBUTIONS "
+            "match (tools/rmsd_backends.py). Pass an explicit --backend for "
+            "cross-machine reproducibility.", backend,
+        )
 
     model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
     diffusion_config = DiffusionConfig(noise_step_count=args.T)

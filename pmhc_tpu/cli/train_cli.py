@@ -228,7 +228,11 @@ def main(argv=None) -> None:
         for epoch_index in range(args.epoch_count):
             _log.debug("starting epoch %d (fused device pipeline)", epoch_index)
             metrics = MetricsRecord()
-            perm = np.random.default_rng(args.seed + epoch_index).permutation(n)
+            # one shuffle implementation: the epoch order comes from the
+            # loader (default_rng(seed + epoch) permutation), exactly what
+            # iterating it would produce
+            perm = np.asarray(loader._epoch_indices())
+            loader._epoch += 1
             nfull = n // B
             idx_full = perm[: nfull * B].reshape(nfull, B)
             nk = (nfull // K) * K  # full K-groups only: a shorter final

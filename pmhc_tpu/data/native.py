@@ -15,6 +15,7 @@ policy, and float64 Shepperd rot->quat with canonical w >= 0.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -84,13 +85,23 @@ def _load() -> Optional[ctypes.CDLL]:
         except ImportError:
             _failed = True
             return None
-        if not os.path.isfile(_LIB) or (
-            os.path.isfile(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
+        # rebuild keyed on a source hash, not mtimes: git does not preserve
+        # mtimes, so a stale binary from a fresh checkout must never win
+        src_hash = ""
+        if os.path.isfile(_SRC):
+            with open(_SRC, "rb") as f:
+                src_hash = hashlib.sha256(f.read()).hexdigest()
+        stamp = _LIB + ".srchash"
+        built_hash = ""
+        if os.path.isfile(stamp):
+            with open(stamp) as f:
+                built_hash = f.read().strip()
+        if not os.path.isfile(_LIB) or built_hash != src_hash:
             if not _build():
                 _failed = True
                 return None
+            with open(stamp, "w") as f:
+                f.write(src_hash)
         hdf5 = _find_libhdf5()
         if hdf5 is None:
             _failed = True

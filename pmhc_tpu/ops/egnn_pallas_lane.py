@@ -215,7 +215,12 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
 
             # rotation
             conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
-            inv_qj = conj_qj / jnp.sum(q_j * q_j, axis=0, keepdims=True)
+            # zero-guard like the vjp/g8 twins: padded lanes (Bp > B) carry
+            # all-zero quats and would produce 0/0 NaNs that persist in the
+            # lane-layout scan carry and trip jax_debug_nans
+            inv_qj = conj_qj / jnp.maximum(
+                jnp.sum(q_j * q_j, axis=0, keepdims=True), 1e-30
+            )
             local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
             rot_pre = heads[T:2 * T] + _mm(wrq_ref[:], local_q) + br1_ref[:]
             # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)

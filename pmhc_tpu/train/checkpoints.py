@@ -63,5 +63,13 @@ class CheckpointManager:
             "key_data": jax.random.key_data(jax.random.key(0)),
         }
         restored = self.manager.restore(step, args=self._ocp.args.StandardRestore(target))
-        key = jax.random.wrap_key_data(restored["key_data"])
+        # rebuild the key from HOST data so it comes back uncommitted:
+        # orbax restores onto device 0, and a device-0-committed key
+        # conflicts with mesh-committed params inside the shard_map (CP)
+        # trainer jit, which has no in_shardings to re-place it
+        import numpy as np
+
+        key = jax.random.wrap_key_data(
+            jax.numpy.asarray(np.asarray(restored["key_data"]))
+        )
         return restored["params"], restored["opt_state"], key, step

@@ -214,7 +214,7 @@ def test_sample_cli_cp_mesh(data_dir, tmp_path):
     assert np.isfinite(coords).all()
 
 
-def test_sample_cli_maxlen_peptide(tmp_path):
+def test_sample_cli_maxlen_peptide(data_dir, tmp_path):
     """A peptide of exactly maxlen=16 samples and writes a valid PDB.
 
     The REFERENCE writer has a latent IndexError here (pdb.py:145 reads
@@ -223,11 +223,13 @@ def test_sample_cli_maxlen_peptide(tmp_path):
     from pmhc_tpu.cli.sample_cli import main
     from pmhc_tpu.data import write_synthetic_hdf5
 
+    model_path = str(data_dir / "model.pth")
+    assert os.path.isfile(model_path), "train smoke must run first"
     h5 = str(tmp_path / "full.hdf5")
     write_synthetic_hdf5(h5, n_entries=2, peptide_lengths=(16,), seed=6)
     out_dir = str(tmp_path / "sampled16")
     main([
-        "/root/reference/model.pth", h5,
+        model_path, h5,
         "-T", "4", "--batch-size", "2", "--output-dir", out_dir,
     ])
     pdb = os.path.join(out_dir, sorted(os.listdir(out_dir))[0])

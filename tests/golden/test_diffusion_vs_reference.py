@@ -267,3 +267,47 @@ def test_full_sampler_chain_parity(monkeypatch):
     q_ours = q_ours / np.linalg.norm(q_ours, axis=-1, keepdims=True)
     flips = int((np.sign(np.sum(q_ref * q_ours, axis=-1)) < 0).sum())
     assert flips > 0, "eigh sign convention changed - deeper chain parity may now be possible"
+
+
+def test_pow_schedule_tables_match_reference():
+    """schedule="pow" tables vs the reference's dead-code pow_schedule
+    (optimizer.py:23-25): beta(t) = beta_min + (beta_max-beta_min)*(t/T)^p,
+    alpha/sigma derived the same way as linear."""
+    from diffusion.optimizer import pow_schedule
+
+    cfg = DiffusionConfig(noise_step_count=50, schedule="pow", schedule_pow=2.0)
+    tables = ScheduleTables(cfg)
+    for t in range(51):
+        beta = pow_schedule(t, 50, cfg.beta_min, cfg.beta_max, 2)
+        np.testing.assert_allclose(float(tables.beta[t]), beta, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(tables.alpha[t]), np.sqrt(1.0 - beta), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(tables.sigma[t]), np.sqrt(beta), rtol=1e-6
+        )
+
+
+def test_pow_schedule_trains_and_samples():
+    """The selectable pow schedule runs end-to-end: one train step and a
+    short sampling chain produce finite outputs."""
+    from pmhc_tpu.data import synthetic_batch
+    from pmhc_tpu.diffusion import sample
+    from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+    from pmhc_tpu.train import Trainer, TrainConfig
+    from pmhc_tpu.train.trainer import prepare_batch
+
+    cfg = DiffusionConfig(noise_step_count=6, schedule="pow")
+    model_cfg = ScoreNetworkConfig(noise_step_count=6)
+    batch = synthetic_batch(batch_size=2, seed=3)
+    trainer = Trainer(model_cfg, cfg, TrainConfig(seed=3))
+    sums = trainer.train_batch(batch)
+    assert np.isfinite(float(sums["total loss"]))
+
+    params = init_score_network(jax.random.key(0), model_cfg)
+    model_batch = prepare_batch(batch)
+    out = sample(params, model_batch, jax.random.key(1), cfg, model_cfg,
+                 ScheduleTables(cfg))
+    assert np.isfinite(np.asarray(out["frames"].quats)).all()
+    assert np.isfinite(np.asarray(out["frames"].trans)).all()
+    assert np.isfinite(np.asarray(out["torsions"])).all()

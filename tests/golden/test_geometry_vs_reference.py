@@ -209,3 +209,29 @@ def test_spherical_to_quat_parity():
         torch.tensor(phi), torch.tensor(theta), torch.tensor(alpha)
     ).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_get_rmsd_parity():
+    """geometry/frame.py::get_rmsd vs the reference's tools/frame.py:6-7
+    (unmasked translation RMSD averaged over the residue axis)."""
+    from diffusion.tools.frame import get_rmsd as ref_get_rmsd
+    from openfold.utils.rigid_utils import Rigid
+
+    from pmhc_tpu.geometry.frame import get_rmsd
+
+    q = _rand_unit_quats((8, 16))
+    t1 = RNG.normal(scale=5.0, size=(8, 16, 3)).astype(np.float32)
+    t2 = RNG.normal(scale=5.0, size=(8, 16, 3)).astype(np.float32)
+
+    ours = np.asarray(
+        get_rmsd(
+            RigidArray(jnp.asarray(q), jnp.asarray(t1)),
+            RigidArray(jnp.asarray(q), jnp.asarray(t2)),
+        )
+    )
+    tensor7 = lambda tr: torch.cat([torch.tensor(q), torch.tensor(tr)], dim=-1)
+    theirs = ref_get_rmsd(
+        Rigid.from_tensor_7(tensor7(t1)), Rigid.from_tensor_7(tensor7(t2))
+    ).numpy()
+    assert ours.shape == (8,)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)

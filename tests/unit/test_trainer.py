@@ -215,3 +215,39 @@ def test_torch_checkpoint_roundtrip(tmp_path):
     back = import_torch_checkpoint(path)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_under_cp(tmp_path, batch):
+    """Orbax save/restore through the CP (shard_map) trainer path: the
+    opt_state the CP CLI would save restores into a fresh CP trainer and
+    training continues (VERDICT r2 weak #5)."""
+    from pmhc_tpu.train.checkpoints import CheckpointManager
+
+    from pmhc_tpu.parallel import batch_sharding
+
+    cp_model = ScoreNetworkConfig(backend="cp")
+    mesh = make_mesh(n_data=2, n_context=4)
+    # like the CLI: batches are device_put against the mesh sharding, so
+    # they compose with mesh-committed (Orbax-restored) params
+    cp_batch = jax.device_put(
+        {k: v for k, v in batch.items() if k != "name"}, batch_sharding(mesh)
+    )
+    t1 = Trainer(cp_model, DIFF_CONFIG, TrainConfig(seed=5), mesh=mesh,
+                 context_parallel=True)
+    t1.train_batch(cp_batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt_cp"))
+    mgr.save(1, t1.params, t1.opt_state, t1.key)
+    mgr.wait()
+
+    t2 = Trainer(cp_model, DIFF_CONFIG, TrainConfig(seed=99), mesh=mesh,
+                 context_parallel=True)
+    t2.params, t2.opt_state, t2.key, step = mgr.restore(t2.params, t2.opt_state)
+    assert step == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state trains onward
+    sums = t2.train_batch(cp_batch)
+    assert np.isfinite(float(sums["total loss"]))
