@@ -54,7 +54,9 @@ def build_parser() -> ArgumentParser:
                    help="devices on the context-parallel axis: shards the "
                         "EGNN neighbour axis via shard_map (backend 'cp' "
                         "or 'ring'; selects 'cp' if --backend is not one "
-                        "of them). Mutually exclusive with --mesh-model.")
+                        "of them). Combined with --mesh-model it instead "
+                        "runs DP x TP x CP as one GSPMD jit (xla backend "
+                        "with neighbour-axis sharding constraints).")
     p.add_argument("--orbax-dir", default=None,
                    help="directory for full-state Orbax checkpoints")
     p.add_argument("--bf16", action="store_true",
@@ -115,8 +117,22 @@ def main(argv=None) -> None:
     from pmhc_tpu.train import MetricsRecord, Trainer, TrainConfig
 
     backend = args.backend
+    three_axis = args.mesh_context > 1 and args.mesh_model > 1
     context_parallel = args.mesh_context > 1 or backend in ("cp", "ring")
-    if context_parallel and backend not in ("cp", "ring"):
+    if three_axis:
+        # DP x TP x CP composes as ONE GSPMD jit over the xla backend
+        # (neighbour-axis sharding constraints + Megatron param layout)
+        if backend not in ("auto", "xla"):
+            raise SystemExit(
+                "--mesh-model with --mesh-context (DP x TP x CP) runs the "
+                f"GSPMD xla backend; --backend {backend} is incompatible"
+            )
+        backend = "xla"
+        _log.info(
+            "--mesh-model %d x --mesh-context %d: GSPMD DP x TP x CP "
+            "(backend 'xla')", args.mesh_model, args.mesh_context,
+        )
+    elif context_parallel and backend not in ("cp", "ring"):
         backend = "cp"
         _log.info("--mesh-context %d: selecting backend 'cp'", args.mesh_context)
     elif backend == "auto":
@@ -129,8 +145,6 @@ def main(argv=None) -> None:
         else:
             backend = "xla"
         _log.info("backend 'auto' -> %s", backend)
-    if context_parallel and args.mesh_model > 1:
-        raise SystemExit("--mesh-context and --mesh-model are mutually exclusive")
 
     model_config = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
     diffusion_config = DiffusionConfig(

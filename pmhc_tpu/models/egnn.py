@@ -77,6 +77,30 @@ def init_egnn_layer(
     }
 
 
+def neighbour_shardings(mesh, data_axis: str = "data", cp_axis: str = "context"):
+    """Sharding factory for GSPMD context parallelism: returns a
+    rank -> NamedSharding callable placing the batch axis (0) on
+    ``data_axis`` and the neighbour axis (2) on ``cp_axis``. Passed as
+    ``egnn_forward(neighbour_sharding=...)``, XLA's partitioner then
+    shards every [B, N, N+P, *] tensor over the context axis and inserts
+    the softmax/reduction collectives itself — this composes with the
+    Megatron TP param layout in one jit (DP x TP x CP), unlike the
+    manual shard_map backends ('cp'/'ring')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def by_rank(ndim: int):
+        dims = (data_axis, None, cp_axis) + (None,) * (ndim - 3)
+        return NamedSharding(mesh, P(*dims))
+
+    return by_rank
+
+
+def _constrain(x: jnp.ndarray, sharding_by_rank) -> jnp.ndarray:
+    if sharding_by_rank is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding_by_rank(x.ndim))
+
+
 def egnn_forward(
     params: nn.Params,
     peptide_frames: RigidArray,  # [B, N]
@@ -88,6 +112,7 @@ def egnn_forward(
     pocket_frames: RigidArray,  # [B, P]
     pocket_mask: jnp.ndarray,  # [B, P] float32 {0, 1}
     precision=nn.DEFAULT_PRECISION,
+    neighbour_sharding=None,  # see neighbour_shardings (GSPMD CP)
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
     """One message-passing round. Returns (frames, torsions, node features)
     with the exact update semantics of reference ``model.py:83-181``."""
@@ -118,7 +143,10 @@ def egnn_forward(
     # edge term: constant per layer; pocket neighbours have zero edges
     a_e = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))  # [N, N+P, T]
     pre = a_i[:, :, None, :] + a_j[:, None, :, :] + a_e[None] + mp["lin1"]["b"]
-    message = nn.mlp_hidden(mp, pre, precision=precision)  # [B, N, N+P, M]
+    pre = _constrain(pre, neighbour_sharding)
+    message = _constrain(
+        nn.mlp_hidden(mp, pre, precision=precision), neighbour_sharding
+    )  # [B, N, N+P, M]
 
     # --- attention (model.py:228-245) -------------------------------------
     d2 = jnp.sum(jnp.square(t_i[:, :, None, :] - t_j[:, None, :, :]), axis=-1)  # [B, N, N+P]
@@ -132,7 +160,9 @@ def egnn_forward(
         + ap["lin1"]["b"]
     )
     att_logits = nn.mlp_hidden(ap, att_pre, precision=precision)[..., 0]  # [B, N, N+P]
-    att_logits = att_logits - (1.0 - message_mask) * INFINITY
+    att_logits = _constrain(
+        att_logits - (1.0 - message_mask) * INFINITY, neighbour_sharding
+    )
     neighbour_weights = jax.nn.softmax(att_logits, axis=-1)
 
     # --- feature update (model.py:151); message summed over ALL neighbours

@@ -105,6 +105,7 @@ def score_network_forward(
     t,
     config: ScoreNetworkConfig,
     precision=nn.DEFAULT_PRECISION,
+    neighbour_sharding=None,
 ) -> Dict[str, Any]:
     """Predict the noise on a batch of noised states.
 
@@ -198,8 +199,13 @@ def score_network_forward(
                 precision=precision,
             )
     else:
+        # xla backend; neighbour_sharding (egnn.neighbour_shardings)
+        # additionally turns it into GSPMD context parallelism — the
+        # DP x TP x CP composition path (docs/scaling.md)
         def layer(p, *args):
-            return egnn_forward(p, *args, precision)
+            return egnn_forward(
+                p, *args, precision, neighbour_sharding=neighbour_sharding
+            )
 
     with jax.named_scope("egnn_layer_1"):
         edge_pre1 = relpos_edge_pre(params["gnn1"], config.max_len)

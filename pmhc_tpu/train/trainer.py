@@ -75,6 +75,7 @@ def _build_step_fn(
     optimizer: optax.GradientTransformation,
     precision=DEFAULT_PRECISION,
     data_axis=None,
+    neighbour_sharding=None,
 ):
     """The pure (unjitted) train step: (params, opt_state, batch, key) ->
     (params, opt_state, key, metric_sums).
@@ -124,7 +125,10 @@ def _build_step_fn(
 
         def loss_fn(p):
             zt = add_noise(batch, epsilon, t, tables)
-            pred = score_network_forward(p, zt, t, model_config, precision)
+            pred = score_network_forward(
+                p, zt, t, model_config, precision,
+                neighbour_sharding=neighbour_sharding,
+            )
             losses = diffusion_loss(
                 epsilon,
                 pred,
@@ -238,6 +242,25 @@ def make_train_step(
     ``make_mesh(n_context=...)``). Semantics are bit-compatible with the
     single-device step on the same global batch.
     """
+    if context_parallel and tensor_parallel:
+        # DP x TP x CP in ONE GSPMD jit: the xla-backend forward with
+        # with_sharding_constraint on the neighbour axis
+        # (models/egnn.py::neighbour_shardings) composes with the
+        # Megatron TP param layout; XLA inserts all collectives.
+        if mesh is None:
+            raise ValueError("context_parallel requires a mesh")
+        if model_config.backend != "xla":
+            raise ValueError(
+                "DP x TP x CP (GSPMD) requires ScoreNetworkConfig.backend "
+                f"'xla', got {model_config.backend!r}"
+            )
+        from pmhc_tpu.models.egnn import neighbour_shardings
+
+        step_fn = _build_step_fn(
+            model_config, diffusion_config, optimizer, precision,
+            neighbour_sharding=neighbour_shardings(mesh),
+        )
+        return _shard_jit(step_fn, mesh, tensor_parallel=True)
     if context_parallel:
         if mesh is None:
             raise ValueError("context_parallel requires a mesh")
@@ -279,10 +302,19 @@ def make_train_scan(
     (params, opt_state, key, metric_sums[K])`` where ``stacked_batches``
     has a leading [K] axis on every leaf.
     """
-    single = _build_step_fn(
-        model_config, diffusion_config, optimizer, precision,
-        data_axis="data" if context_parallel else None,
-    )
+    gspmd_cp = context_parallel and tensor_parallel  # DP x TP x CP jit
+    if gspmd_cp:
+        from pmhc_tpu.models.egnn import neighbour_shardings
+
+        single = _build_step_fn(
+            model_config, diffusion_config, optimizer, precision,
+            neighbour_sharding=neighbour_shardings(mesh),
+        )
+    else:
+        single = _build_step_fn(
+            model_config, diffusion_config, optimizer, precision,
+            data_axis="data" if context_parallel else None,
+        )
 
     def scan_fn(params, opt_state, stacked_batches, key):
         def body(carry, batch):
@@ -295,6 +327,9 @@ def make_train_scan(
         )
         return params, opt_state, key, sums
 
+    if gspmd_cp:
+        return _shard_jit(scan_fn, mesh, batch_is_stacked=True,
+                          tensor_parallel=True)
     if context_parallel:
         if mesh is None:
             raise ValueError("context_parallel requires a mesh")
@@ -367,12 +402,12 @@ class Trainer:
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
         self.context_parallel = context_parallel
-        if context_parallel and tensor_parallel:
+        if context_parallel and tensor_parallel and model_config.backend != "xla":
             raise ValueError(
-                "context_parallel (manual shard_map) and tensor_parallel "
-                "(GSPMD Megatron layout) are separate trainer paths; "
-                "combine DP x TP x CP via the GSPMD sharding-constraint "
-                "backend instead (docs/scaling.md)"
+                "DP x TP x CP runs as one GSPMD jit over the xla backend "
+                "(neighbour-axis sharding constraints compose with the "
+                "Megatron layout); set ScoreNetworkConfig.backend='xla', "
+                f"got {model_config.backend!r}"
             )
 
         key = jax.random.key(train_config.seed)

@@ -244,3 +244,17 @@ def test_sample_cli_maxlen_peptide(data_dir, tmp_path):
          for l in atom_lines]
     )
     assert np.isfinite(coords).all()
+
+
+def test_train_cli_dp_tp_cp_mesh(data_dir, tmp_path):
+    # DP(2) x TP(2) x CP(2): one GSPMD jit — xla backend with
+    # neighbour-axis sharding constraints + Megatron TP layout
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_3ax.pth")
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "4", "--mesh-data", "2",
+        "--mesh-model", "2", "--mesh-context", "2",
+    ])
+    assert os.path.isfile(model_path)

@@ -251,3 +251,31 @@ def test_checkpoint_roundtrip_under_cp(tmp_path, batch):
     # restored state trains onward
     sums = t2.train_batch(cp_batch)
     assert np.isfinite(float(sums["total loss"]))
+
+
+def test_dp_tp_cp_training_tracks_single_device(batch):
+    """DP x TP x CP as ONE GSPMD jit on a 2x2x2 mesh: the xla-backend
+    forward with neighbour-axis sharding constraints
+    (models/egnn.py::neighbour_shardings) composed with the Megatron TP
+    layout equals single-device training to the DP/TP tolerances."""
+    mesh = make_mesh(n_data=2, n_model=2, n_context=2)
+    t_single = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=3))
+    t_3ax = Trainer(
+        MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=3), mesh=mesh,
+        tensor_parallel=True, context_parallel=True,
+    )
+    w_spec = t_3ax.params["gnn1"]["message"]["lin1"]["w"].sharding.spec
+    assert "model" in tuple(w_spec), w_spec
+
+    for _ in range(2):
+        s_single = t_single.train_batch(batch)
+        s_3ax = t_3ax.train_batch(batch)
+
+    np.testing.assert_allclose(
+        float(s_single["total loss"]), float(s_3ax["total loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_single.params),
+        jax.tree_util.tree_leaves(t_3ax.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
