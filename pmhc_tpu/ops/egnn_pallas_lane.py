@@ -499,6 +499,63 @@ def lane_edge3(edge_pre: jnp.ndarray, P: int) -> jnp.ndarray:
     return jnp.transpose(edge_full, (1, 0, 2))
 
 
+# ---------------------------------------------------------------------------
+# Chunk-major (batch-grid) layouts: large batches tile the kernel GRID
+# over batch chunks of Cb entries instead of lax.map-ing CHUNK-sized
+# pallas calls. Requires the per-chunk geometry to be a single residue
+# cell (k == N). Lane order: chunk-major, lane = bc*(N*Cb) + n*Cb + b.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_stack(x: jnp.ndarray, Cb: int, nch: int) -> jnp.ndarray:
+    """[B, ...] -> [nch, Cb, ...] (zero-padded final chunk)."""
+    pad = nch * Cb - x.shape[0]
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x.reshape(nch, Cb, *x.shape[1:])
+
+
+def node_to_lane_bg(x: jnp.ndarray, Cb: int, nch: int) -> jnp.ndarray:
+    """[B, N, C] -> [C, nch*N*Cb], per-chunk ``node_to_lane`` layouts
+    concatenated along lanes (chunk-major)."""
+    y = _chunk_stack(x.reshape(*x.shape[:2], -1), Cb, nch)  # [nch, Cb, N, C]
+    N = y.shape[2]
+    return jnp.transpose(y, (3, 0, 2, 1)).reshape(-1, nch * N * Cb)
+
+
+def lane_to_node_bg(x: jnp.ndarray, B: int, Cb: int, nch: int) -> jnp.ndarray:
+    """[C, nch*N*Cb] -> [B, N, C] (inverse of ``node_to_lane_bg``)."""
+    C = x.shape[0]
+    y = x.reshape(C, nch, -1, Cb)
+    return jnp.transpose(y, (1, 3, 2, 0)).reshape(nch * Cb, -1, C)[:B]
+
+
+def nbr_to_lane_bg(x: jnp.ndarray, Cb: int, nch: int) -> jnp.ndarray:
+    """[B, NP, C] -> [NP, C, nch*Cb] resident layout, chunk-major on the
+    last axis (block bc = lanes [bc*Cb, (bc+1)*Cb))."""
+    y = _chunk_stack(x, Cb, nch)                    # [nch, Cb, NP, C]
+    NP, C = y.shape[2], y.shape[3]
+    return jnp.transpose(y, (2, 3, 0, 1)).reshape(NP, C, nch * Cb)
+
+
+def lane_msg_mask_bg(peptide_mask, pocket_mask, Cb: int, nch: int):
+    """``lane_msg_mask`` in the chunk-major layout [NP, 1, nch*N*Cb]."""
+    B, N = peptide_mask.shape
+    pep_mask = peptide_mask.astype(F32)
+    pk_mask = pocket_mask.astype(F32)
+    not_self = 1.0 - jnp.eye(N, dtype=F32)
+    msg_mask = jnp.concatenate(
+        (
+            pep_mask[:, :, None] * pep_mask[:, None, :] * not_self,
+            pep_mask[:, :, None] * pk_mask[:, None, :],
+        ),
+        axis=-1,
+    )  # [B, N, NP]
+    NP = msg_mask.shape[-1]
+    y = _chunk_stack(msg_mask, Cb, nch)             # [nch, Cb, N, NP]
+    return jnp.transpose(y, (3, 0, 2, 1)).reshape(NP, 1, nch * N * Cb)
+
+
 def egnn_forward_pallas_lane(
     params,
     peptide_frames: RigidArray,

@@ -191,7 +191,7 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
     return kernel
 
 
-def _make_loop_bwd(k: int, bf16: bool, unroll: int):
+def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
     _mm, _mm0, _mmL = _mm_maker(bf16)
 
     def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
@@ -223,13 +223,29 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
 
         first_cell = pl.program_id(0) == 0
 
-        @pl.when(first_cell)
-        def _():
+        if batch_grid:
+            # batch-grid mode (grid cell = batch chunk, single residue
+            # cell): daj/dqj/dtj blocks are PER-CHUNK (each visited once,
+            # fresh buffer -> unconditional zero); dedge's block is
+            # constant (revisited consecutively across every chunk), so
+            # it accumulates like the weight grads, zeroed at cell 0
             daj_ref[:] = jnp.zeros(daj_ref.shape, F32)
             dqj_ref[:] = jnp.zeros(dqj_ref.shape, F32)
             dtj_ref[:] = jnp.zeros(dtj_ref.shape, F32)
-            for r in dw_refs.values():
-                r[:] = jnp.zeros(r.shape, F32)
+
+            @pl.when(first_cell)
+            def _():
+                dedge_ref[:] = jnp.zeros(dedge_ref.shape, F32)
+                for r in dw_refs.values():
+                    r[:] = jnp.zeros(r.shape, F32)
+        else:
+            @pl.when(first_cell)
+            def _():
+                daj_ref[:] = jnp.zeros(daj_ref.shape, F32)
+                dqj_ref[:] = jnp.zeros(dqj_ref.shape, F32)
+                dtj_ref[:] = jnp.zeros(dtj_ref.shape, F32)
+                for r in dw_refs.values():
+                    r[:] = jnp.zeros(r.shape, F32)
 
         def expand(block):
             return pltpu.repeat(block, k, axis=1) if k > 1 else block
@@ -344,13 +360,19 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int):
             # neighbour-side outputs: collapse query tiles; daj/dqj/dtj
             # ACCUMULATE across grid cells (shared blocks, zeroed at the
             # first cell); dedge's block is cell-exclusive and each np is
-            # visited once, so it's a plain write
+            # visited once, so it's a plain write. In batch-grid mode the
+            # roles flip: daj/dqj/dtj blocks are chunk-exclusive (zeroed
+            # unconditionally above) and dedge's block is shared across
+            # every chunk, so IT accumulates.
             daj_ref[np_i] = daj_ref[np_i] + collapse(dpre)
             dqj_ref[np_i] = dqj_ref[np_i] + collapse(dqj_q)
             dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj_np)
             # edge grad: transpose of edge_exp = edge^T S -> dE = S dpre^T
             # (s_mat is exact 0/1; _mmL keeps one MXU pass in bf16 mode)
-            dedge_ref[np_i] = _mmL(s_mat, dpre)  # [k, T]
+            if batch_grid:
+                dedge_ref[np_i] = dedge_ref[np_i] + _mmL(s_mat, dpre)
+            else:
+                dedge_ref[np_i] = _mmL(s_mat, dpre)  # [k, T]
 
             return (dai, dtor_node, dqi, dti, dw)
 
@@ -567,7 +589,8 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
     return kernel
 
 
-def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int):
+def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
+                      batch_grid: bool = False):
     from pmhc_tpu.ops.egnn_pallas_lane_g8 import (
         G as G8, _lane8, _qmul_cm, _sel_matrices, _tree_lane,
     )
@@ -608,13 +631,27 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int):
 
         first_cell = pl.program_id(0) == 0
 
-        @pl.when(first_cell)
-        def _():
+        if batch_grid:
+            # see _make_loop_bwd: chunk-exclusive neighbour blocks are
+            # zeroed unconditionally; dedge + weight grads accumulate
+            # across chunks, zeroed at the first grid cell
             daj_ref[:] = jnp.zeros(daj_ref.shape, F32)
             dqj_ref[:] = jnp.zeros(dqj_ref.shape, F32)
             dtj_ref[:] = jnp.zeros(dtj_ref.shape, F32)
-            for rr in dw_refs.values():
-                rr[:] = jnp.zeros(rr.shape, F32)
+
+            @pl.when(first_cell)
+            def _():
+                dedge_ref[:] = jnp.zeros(dedge_ref.shape, F32)
+                for rr in dw_refs.values():
+                    rr[:] = jnp.zeros(rr.shape, F32)
+        else:
+            @pl.when(first_cell)
+            def _():
+                daj_ref[:] = jnp.zeros(daj_ref.shape, F32)
+                dqj_ref[:] = jnp.zeros(dqj_ref.shape, F32)
+                dtj_ref[:] = jnp.zeros(dtj_ref.shape, F32)
+                for rr in dw_refs.values():
+                    rr[:] = jnp.zeros(rr.shape, F32)
 
         recompute, cm_to_lane, lane_to_cm = _g8_ctx(
             w, _mm, _mm0, k, BNB, sel, a_i8, tor_node8, q_i8, t_i8, qi_cm,
@@ -730,7 +767,11 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int):
                 daj_ref[np_i] = daj_ref[np_i] + collapse(dpre8[:, sl_])
                 dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj8[:, sl_])
                 dqj_ref[np_i] = dqj_ref[np_i] + _mm(p_sel[j], dqj_coll)
-                dedge_ref[np_i] = _mmL(s_mat, dpre8[:, sl_])
+                if batch_grid:
+                    dedge_ref[np_i] = dedge_ref[np_i] \
+                        + _mmL(s_mat, dpre8[:, sl_])
+                else:
+                    dedge_ref[np_i] = _mmL(s_mat, dpre8[:, sl_])
 
             return (dai, dtor_node, dqi, dti, dw)
 
@@ -779,21 +820,38 @@ def _cell_geometry(B, N, lane_block):
 
 @functools.lru_cache(maxsize=None)
 def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
-             bf16: bool, unroll: int, interpret: bool, g8: bool = False):
+             bf16: bool, unroll: int, interpret: bool, g8: bool = False,
+             batch_grid: bool = False):
     """Build the custom-VJP neighbour loop for one static geometry.
 
     ``g8``: use the geom8 group kernels (8 neighbours per iteration,
     component-major quaternion algebra) and take the extra component-
-    major neighbour resident ``qjg_cm`` [NP/8, 32, Bp]."""
+    major neighbour resident ``qjg_cm`` [NP/8, 32, Bp].
+
+    ``batch_grid``: grid cells are BATCH CHUNKS of Bp entries (requires
+    a single residue cell, k == N, chunk-major lane layouts — see
+    egnn_pallas_lane.node_to_lane_bg). Neighbour residents and the
+    backward's daj/dqj/dtj outputs carry a per-chunk last axis
+    [NP, C, ncells*Bp]; the edge term and its gradient are shared across
+    every chunk (dedge accumulates in-kernel, like the weight grads).
+    This replaces the lax.map batch chunking with ONE pallas call whose
+    grid Mosaic pipelines — no per-chunk dispatch, no XLA-side chunk
+    stacking, weight grads summed in-kernel."""
     BNB = k * Bp
 
     lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
-    res3 = lambda c, w_: pl.BlockSpec((NP, c, w_), lambda i: (0, 0, 0),
-                                      memory_space=pltpu.VMEM)
+    if batch_grid:
+        res3 = lambda c, w_: pl.BlockSpec((NP, c, w_), lambda i: (0, 0, i),
+                                          memory_space=pltpu.VMEM)
+        celledge = pl.BlockSpec((NP, k, T), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        res3 = lambda c, w_: pl.BlockSpec((NP, c, w_), lambda i: (0, 0, 0),
+                                          memory_space=pltpu.VMEM)
+        celledge = pl.BlockSpec((NP, k, T), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
     cellmask = pl.BlockSpec((NP, 1, BNB), lambda i: (0, 0, i),
-                            memory_space=pltpu.VMEM)
-    celledge = pl.BlockSpec((NP, k, T), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -808,8 +866,10 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         "bt1": (T, 1), "wt2": (7, T), "bt2": (7, 1),
     }
 
-    cmgroups = pl.BlockSpec((NP // 8, 32, Bp), lambda i: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    cmgroups = pl.BlockSpec(
+        (NP // 8, 32, Bp),
+        (lambda i: (0, 0, i)) if batch_grid else (lambda i: (0, 0, 0)),
+        memory_space=pltpu.VMEM)
 
     def fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
                  mask3, s_mat):
@@ -833,7 +893,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         )
         return pl.pallas_call(
             (_make_loop_fwd_g8 if g8 else _make_loop_fwd)(k, bf16, unroll),
-            grid=(ncells,),
+            grid=(ncells,),  # residue cells, or batch chunks (batch_grid)
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -856,18 +916,22 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         )
         out_specs = (
             lane(T), lane(T), lane(4), lane(3),      # dai, dtor, dqi, dti
-            res3(T, Bp), res3(4, Bp), res3(3, Bp),   # daj, dqj, dtj (accum)
+            res3(T, Bp), res3(4, Bp), res3(3, Bp),   # daj, dqj, dtj
             celledge,                                # dedge
         ) + tuple(const(w_shapes[n]) for n in _LOOP_W)
+        # batch_grid: daj/dqj/dtj are per-chunk (last axis ncells*Bp);
+        # dedge is one shared [NP, k, T] block accumulated across chunks
+        nbw = ncells * Bp if batch_grid else Bp
+        nek = k if batch_grid else ncells * k
         out_shape = (
             jax.ShapeDtypeStruct((T, ncells * BNB), F32),
             jax.ShapeDtypeStruct((T, ncells * BNB), F32),
             jax.ShapeDtypeStruct((4, ncells * BNB), F32),
             jax.ShapeDtypeStruct((3, ncells * BNB), F32),
-            jax.ShapeDtypeStruct((NP, T, Bp), F32),
-            jax.ShapeDtypeStruct((NP, 4, Bp), F32),
-            jax.ShapeDtypeStruct((NP, 3, Bp), F32),
-            jax.ShapeDtypeStruct((NP, ncells * k, T), F32),
+            jax.ShapeDtypeStruct((NP, T, nbw), F32),
+            jax.ShapeDtypeStruct((NP, 4, nbw), F32),
+            jax.ShapeDtypeStruct((NP, 3, nbw), F32),
+            jax.ShapeDtypeStruct((NP, nek, T), F32),
         ) + tuple(jax.ShapeDtypeStruct(w_shapes[n], F32) for n in _LOOP_W)
         operands = (
             (ai, tor, qi, ti, aj3, qj3, tj3)
@@ -876,7 +940,8 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
                m_fin, g_gd, g_ta, g_tr, g_d, g_msg)
         )
         return pl.pallas_call(
-            (_make_loop_bwd_g8 if g8 else _make_loop_bwd)(k, bf16, unroll),
+            (_make_loop_bwd_g8 if g8 else _make_loop_bwd)(
+                k, bf16, unroll, batch_grid),
             grid=(ncells,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -940,6 +1005,7 @@ def egnn_forward_pallas_lane_vjp(
     bf16: bool = False,
     unroll: int = 4,
     g8: bool = False,
+    chunk: int | None = None,
 ) -> Tuple[RigidArray, jnp.ndarray, jnp.ndarray]:
     """Differentiable drop-in for ``egnn_forward``: Pallas neighbour loop
     (fwd + hand-written bwd) between autodiffed XLA pre/post stages.
@@ -948,22 +1014,44 @@ def egnn_forward_pallas_lane_vjp(
     algebra component-major (ops/egnn_pallas_lane_g8.py). Group unroll is
     forced to 1 (the group IS the unroll).
 
-    Large batches are processed in chunks via ``lax.map``: the BACKWARD
-    kernel keeps ~20 [T, k*B] temporaries live per cell, so k=8 x B=1024
-    lanes (the k>=8 Mosaic sublane-block constraint fixes the lower
-    bound) needs ~330 MB of VMEM — chunking keeps every call in the
-    measured regime, and autodiff sums the per-chunk weight gradients
-    for free."""
+    Large batches run the BATCH-GRID path when the per-chunk geometry is
+    a single residue cell (k == N): the pallas grid tiles over batch
+    chunks of ``chunk`` entries (chunk-major lane layouts), so Mosaic
+    pipelines the chunks inside ONE kernel launch and the weight
+    gradients sum in-kernel. The BACKWARD kernel keeps ~20 [T, k*B]
+    temporaries live per cell, which is what bounds the chunk size
+    (k=16 x B=1024 lanes would need ~330 MB of VMEM). Geometries with
+    multiple residue cells fall back to ``lax.map`` over chunk-sized
+    calls (per-chunk dispatch; autodiff sums the weight grads)."""
     B, N = peptide_mask.shape
     # 128 keeps the XLA fusion AROUND the pallas calls inside the 16 MB
     # scoped-vmem limit at f32 (256-batch chunks = 4096-lane carries
     # measured 19.15M scoped); the kernels themselves are VMEM-capped
     # separately via CompilerParams. g8 tiles are 8x wider, so it chunks
     # at 64 (BNB8 <= 8192 keeps the group backward under ~50 MB VMEM).
-    CHUNK = 64 if g8 else 128
+    if chunk is None:
+        chunk = int(os.environ.get("PMHC_VJP_CHUNK", "0")) or None
+    CHUNK = chunk if chunk is not None else (64 if g8 else 128)
     if g8:
         unroll = int(os.environ.get("PMHC_G8_UNROLL", "1"))
+    batch_grid = False
     if B > CHUNK:
+        # batch-grid needs a single residue cell per chunk AND a lane-
+        # legal per-chunk width: the [*, C, nch*Bp] neighbour residents
+        # are lane-blocked at Bp, which Mosaic requires divisible by 128
+        # when the block doesn't span the whole axis (interpret mode has
+        # no such constraint). g8's default chunk (64) therefore rises
+        # to 128 for the grid path — measured FASTER than lax.map at 64
+        # (76.4k vs 54.5k ex/s, B=1024 bf16).
+        kc, Bpc, _, nc = _cell_geometry(CHUNK, N, lane_block)
+        batch_grid = nc == 1 and (interpret or Bpc % 128 == 0)
+        if g8 and chunk is None and not batch_grid and not interpret:
+            kc, Bpc, _, nc = _cell_geometry(128, N, lane_block)
+            if nc == 1 and Bpc % 128 == 0 and B > 128:
+                CHUNK, batch_grid = 128, True
+        if os.environ.get("PMHC_VJP_NO_BG"):  # A/B: force legacy lax.map
+            batch_grid = False
+    if B > CHUNK and not batch_grid:
         pad = (-B) % CHUNK
         def padb(x):
             return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
@@ -977,12 +1065,13 @@ def egnn_forward_pallas_lane_vjp(
             stack(pocket_mask),
         )
 
-        def one(chunk):
-            fq, ft, tors, feats, pm, pkf, pkq, pkt, pkm = chunk
+        def one(chunk_slices):
+            fq, ft, tors, feats, pm, pkf, pkq, pkt, pkm = chunk_slices
             fr, tr, hh = egnn_forward_pallas_lane_vjp(
                 params, RigidArray(fq, ft), tors, feats, edge_pre, pm,
                 pkf, RigidArray(pkq, pkt), pkm, lane_block=lane_block,
                 interpret=interpret, bf16=bf16, unroll=unroll, g8=g8,
+                chunk=chunk,
             )
             return fr.quats, fr.trans, tr, hh
 
@@ -994,19 +1083,29 @@ def egnn_forward_pallas_lane_vjp(
     H = peptide_features.shape[-1]
     T = params["message"]["lin1"]["b"].shape[0]
     M = params["message"]["lin2"]["b"].shape[0]
-    k, Bp, BNB, ncells = _cell_geometry(B, N, lane_block)
 
     # shared lane-layout helpers (egnn_pallas_lane.py) — the layouts MUST
     # stay in lockstep with the kernels, so there is one implementation
     from pmhc_tpu.ops.egnn_pallas_lane import (
-        lane_j_mat, lane_msg_mask, lane_s_mat, lane_to_node, nbr_to_lane,
-        node_to_lane,
+        lane_j_mat, lane_msg_mask, lane_msg_mask_bg, lane_s_mat,
+        lane_to_node, lane_to_node_bg, nbr_to_lane, nbr_to_lane_bg,
+        node_to_lane, node_to_lane_bg,
     )
 
-    node_t = lambda x: node_to_lane(x, Bp)
-    node_back = lambda x: lane_to_node(x, B, Bp)
-    nbr_t = lambda x: nbr_to_lane(x, Bp)
-    mask3 = lane_msg_mask(peptide_mask, pocket_mask, Bp)
+    if batch_grid:
+        # per-chunk geometry, grid over nch batch chunks (chunk-major)
+        k, Bp, BNB, _ = _cell_geometry(CHUNK, N, lane_block)
+        nch = -(-B // CHUNK)
+        node_t = lambda x: node_to_lane_bg(x, Bp, nch)
+        node_back = lambda x: lane_to_node_bg(x, B, Bp, nch)
+        nbr_t = lambda x: nbr_to_lane_bg(x, Bp, nch)
+        mask3 = lane_msg_mask_bg(peptide_mask, pocket_mask, Bp, nch)
+    else:
+        k, Bp, BNB, ncells = _cell_geometry(B, N, lane_block)
+        node_t = lambda x: node_to_lane(x, Bp)
+        node_back = lambda x: lane_to_node(x, B, Bp)
+        nbr_t = lambda x: nbr_to_lane(x, Bp)
+        mask3 = lane_msg_mask(peptide_mask, pocket_mask, Bp)
 
     h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
     q_all = jnp.concatenate((peptide_frames.quats, pocket_frames.quats), axis=-2)
@@ -1061,12 +1160,22 @@ def egnn_forward_pallas_lane_vjp(
     if g8:
         from pmhc_tpu.ops.egnn_pallas_lane_g8 import nbr_to_cm8
 
-        qjg_cm = nbr_to_cm8(q_all, Bp)
+        if batch_grid:
+            from pmhc_tpu.ops.egnn_pallas_lane import _chunk_stack
+
+            qjg_cm = jax.vmap(lambda xc: nbr_to_cm8(xc, Bp))(
+                _chunk_stack(q_all, Bp, nch))       # [nch, NG, 32, Bp]
+            qjg_cm = jnp.transpose(qjg_cm, (1, 2, 0, 3)).reshape(
+                NP // 8, 32, nch * Bp)
+        else:
+            qjg_cm = nbr_to_cm8(q_all, Bp)
     else:
         # dummy with a static shape so the custom_vjp signature is stable
-        qjg_cm = jnp.zeros((NP // 8, 32, Bp), F32)
+        qjg_cm = jnp.zeros(
+            (NP // 8, 32, (nch * Bp) if batch_grid else Bp), F32)
 
-    loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret, g8)
+    loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret, g8,
+                    batch_grid)
     m, D, GD, TA, TR, MSG, CNT = loop(
         loop_w, node_t(a_i), node_t(tor_node),
         node_t(peptide_frames.quats), node_t(peptide_frames.trans),

@@ -135,9 +135,9 @@ def test_train_step_pallas_lane_matches_xla(lane_backend):
 
 
 def test_vjp_layer_chunked_large_batch():
-    """Batches > 256 go through the lax.map chunking path (incl. padding
-    when not divisible): forward matches dense and weight grads sum
-    correctly across chunks."""
+    """Batches above the chunk size run the BATCH-GRID path (grid cells
+    = batch chunks, incl. a zero-padded final chunk): forward matches
+    dense and weight grads sum correctly across the grid."""
     params, args = _layer_inputs(batch_size=300)
     dense_f, dense_t, dense_h = egnn_forward(params, *args)
     lane_f, lane_t, lane_h = egnn_forward_pallas_lane_vjp(
@@ -165,3 +165,66 @@ def test_vjp_layer_chunked_large_batch():
         np.testing.assert_allclose(
             b, a, atol=max(3e-4 * float(np.abs(a).max()), 1e-7),
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("g8", [False, True])
+def test_vjp_layer_batch_grid_grads_match_unchunked(g8):
+    """Batch-grid path with a small explicit chunk (B=40, chunk=16 ->
+    3 grid cells incl. padding) against the UNCHUNKED lane path (same
+    kernels — the right oracle for the chunking logic: any structural
+    bug in the in-kernel dedge/dw accumulation across batch chunks or
+    the chunk-exclusive daj/dqj/dtj blocks shows as a large relative
+    error, while f32 summation-order noise stays ~1e-6 absolute)."""
+    params, args = _layer_inputs(batch_size=40)
+    (frames, torsions, h, edge_pre, mask, pocket_h, pk_frames, pk_mask) = args
+
+    def loss(fn):
+        def f(p, fr_q, fr_t, tors, hh, edge, pk_h, pk_q, pk_t):
+            frames_ = type(frames)(fr_q, fr_t)
+            pk_frames_ = type(frames)(pk_q, pk_t)
+            fr, tr, out_h = fn(p, frames_, tors, hh, edge, mask, pk_h,
+                               pk_frames_, pk_mask)
+            return (jnp.sum(fr.trans ** 2) + jnp.sum(fr.quats * 0.7)
+                    + jnp.sum(tr ** 2) + jnp.sum(out_h * 0.3))
+        return f
+
+    argnums = tuple(range(9))
+    diff_args = (params, frames.quats, frames.trans, torsions, h, edge_pre,
+                 pocket_h, pk_frames.quats, pk_frames.trans)
+    g_ref = jax.grad(
+        loss(lambda *a: egnn_forward_pallas_lane_vjp(
+            *a, interpret=True, g8=g8)),
+        argnums=argnums,
+    )(*diff_args)
+    g_bg = jax.grad(
+        loss(lambda *a: egnn_forward_pallas_lane_vjp(
+            *a, interpret=True, g8=g8, chunk=16)),
+        argnums=argnums,
+    )(*diff_args)
+
+    names = ("params", "frames.quats", "frames.trans", "torsions", "h",
+             "edge_pre", "pocket_h", "pk_frames.quats", "pk_frames.trans")
+    for name, a_tree, b_tree in zip(names, g_ref, g_bg):
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(a_tree)[0],
+            jax.tree_util.tree_leaves(b_tree),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                b, a, atol=max(2e-4 * float(np.abs(a).max()), 1e-5),
+                err_msg=f"{name}{jax.tree_util.keystr(path)}",
+            )
+
+
+def test_vjp_layer_lax_map_fallback():
+    """An explicit chunk whose per-chunk geometry has >1 residue cell
+    (chunk=192 -> k=8, ncells=2) forces the legacy lax.map path; values
+    still match dense."""
+    params, args = _layer_inputs(batch_size=200)
+    dense_f, _, dense_h = egnn_forward(params, *args)
+    lane_f, _, lane_h = egnn_forward_pallas_lane_vjp(
+        params, *args, interpret=True, chunk=192)
+    np.testing.assert_allclose(
+        np.asarray(lane_f.trans), np.asarray(dense_f.trans), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lane_h), np.asarray(dense_h), atol=2e-4)
