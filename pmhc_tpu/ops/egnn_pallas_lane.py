@@ -52,6 +52,52 @@ N_TORSIONS = 7
 INFINITY = 1e9
 F32 = jnp.float32
 
+# Fused head-lin2 layout: the four per-neighbour head lin2 matmuls
+# (attention [1,T], rotation [4,T], torsion [7,T], translation [1,T])
+# run as ONE block-diagonal matmul W2ALL [32, 4T] over the relu'd
+# [4T, lanes] head pre-activations (the same trick as the fused lin1
+# "wheads" block, one level down). Each head's rows sit at an 8-aligned
+# offset so the kernel's output row-slices are sublane-tile aligned:
+#   rows  0:1  attention logit   (cols 0:T)
+#   rows  8:12 rotation sigmoid  (cols T:2T)
+#   rows 16:23 torsion delta     (cols 2T:3T)
+#   rows 24:25 translation mtr   (cols 3T:4T)
+# Off-diagonal blocks are exact zeros, so the fused product equals the
+# four separate matmuls (adding 0.0 terms is exact in every MXU mode).
+HEAD_SECT = 8
+HEAD_OUT = {"att": (0, 1), "rot": (8, 4), "tor": (16, 7), "transl": (24, 1)}
+
+
+def pack_head_lin2(params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack the four head lin2 (w, b) pairs into (W2ALL [32, 4T],
+    B2ALL [32, 1]). Built from concats of the param tensors and zeros,
+    so autodiff routes a dW2ALL cotangent back onto the four underlying
+    parameter blocks (the structural-zero blocks' grads are dropped)."""
+    col = lambda w: jnp.asarray(w, F32).T
+    bias = lambda b: jnp.asarray(b, F32).reshape(-1, 1)
+    heads = (
+        ("att", col(params["attention"]["lin2"]["w"]),
+         bias(params["attention"]["lin2"]["b"])),
+        ("rot", col(params["rotation"]["lin2"]["w"]),
+         bias(params["rotation"]["lin2"]["b"])),
+        ("tor", col(params["torsion"]["lin2"]["w"]),
+         bias(params["torsion"]["lin2"]["b"])),
+        ("transl", col(params["translation"]["lin2"]["w"]),
+         bias(params["translation"]["lin2"]["b"])),
+    )
+    T = heads[0][1].shape[-1]
+    wrows, brows = [], []
+    for i, (name, w2, b2) in enumerate(heads):
+        _, rows = HEAD_OUT[name]
+        w_row = jnp.concatenate(
+            (jnp.zeros((rows, i * T), F32), w2,
+             jnp.zeros((rows, (3 - i) * T), F32)), axis=1)
+        wrows.append(jnp.concatenate(
+            (w_row, jnp.zeros((HEAD_SECT - rows, 4 * T), F32)), axis=0))
+        brows.append(jnp.concatenate(
+            (b2, jnp.zeros((HEAD_SECT - rows, 1), F32)), axis=0))
+    return jnp.concatenate(wrows, axis=0), jnp.concatenate(brows, axis=0)
+
 
 def mm_maker(bf16):
     """The kernel matmul family for one precision mode.
@@ -150,14 +196,12 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
         wm2_ref, bm2_ref,          # [M, T], [M, 1]
         wheads_ref,   # [4T, M]  fused [att; rot; tor; transl] lin1 over msg
         wad_ref, waq_ref, ba1_ref,  # [T, 1], [T, 1], [T, 1]
-        wa2_ref, ba2_ref,          # [1, T], [1, 1]
+        w2all_ref, b2all_ref,       # [32, 4T], [32, 1] fused head lin2
         wfh_ref, wfm_ref, bf1_ref,  # [T, H], [T, M], [T, 1]
         wf2_ref, bf2_ref,          # [O, T], [O, 1]
-        bl1_ref, wl2_ref, bl2_ref,  # [T, 1], [1, T], [1, 1]
+        bl1_ref,                    # [T, 1]
         wrq_ref, br1_ref,           # [T, 4], [T, 1]
-        wr2_ref, br2_ref,          # [4, T], [4, 1]
         wtt_ref, bt1_ref,           # [T, 14], [T, 1]
-        wt2_ref, bt2_ref,          # [7, T], [7, 1]
         # outputs
         out_q_ref,    # [4, BNB]
         out_t_ref,    # [3, BNB]
@@ -204,16 +248,8 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
 
             T = wheads_ref.shape[0] // 4
             heads = _mm(wheads_ref[:], msg)  # [4T, BNB]
-            att_pre = (
-                heads[0:T]
-                + wad_ref[:] * (-d2)               # [T,1] * [1,BNB]
-                + waq_ref[:] * qdot2
-                + ba1_ref[:]
-            )
-            logits = _mm(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]
-            logits = logits - (1.0 - mask) * INFINITY  # [1, BNB]
 
-            # rotation
+            # rotation geometry (feeds the rot section's extra term)
             conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
             # zero-guard like the vjp/g8 twins: padded lanes (Bp > B) carry
             # all-zero quats and would produce 0/0 NaNs that persist in the
@@ -222,21 +258,27 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
                 jnp.sum(q_j * q_j, axis=0, keepdims=True), 1e-30
             )
             local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
-            rot_pre = heads[T:2 * T] + _mm(wrq_ref[:], local_q) + br1_ref[:]
+
+            # the four heads' pre-activations as ONE [4T, BNB] tensor,
+            # one relu, one fused block-diagonal lin2 matmul (W2ALL)
+            pre_heads = heads + jnp.concatenate(
+                (
+                    wad_ref[:] * (-d2) + waq_ref[:] * qdot2 + ba1_ref[:],
+                    _mm(wrq_ref[:], local_q) + br1_ref[:],
+                    tor_node + bt1_ref[:],
+                    jnp.broadcast_to(bl1_ref[:], (T, BNB)),
+                ),
+                axis=0,
+            )
+            out_all = _mm(w2all_ref[:], jnp.maximum(pre_heads, 0.0)) \
+                + b2all_ref[:]                          # [32, BNB]
+            logits = out_all[0:1] - (1.0 - mask) * INFINITY  # [1, BNB]
             # sigmoid output used UNNORMALIZED (reference quirk, model.py:291-292)
-            local_delta = jax.nn.sigmoid(
-                _mm(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
-            )  # [4, BNB]
+            local_delta = jax.nn.sigmoid(out_all[8:12])      # [4, BNB]
             gdelta = _qmul_rows(q_j, _qmul_rows(local_delta, inv_qj))
-
-            # torsion
-            tor_pre = heads[2 * T:3 * T] + tor_node + bt1_ref[:]
-            mdelta = _mm(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]  # [7, BNB]
-
-            # translation
-            tr_hid = jnp.maximum(heads[3 * T:] + bl1_ref[:], 0.0)
-            mtr = _mm(wl2_ref[:], tr_hid) + bl2_ref[:]  # [1, BNB]
-            mr = mtr * (t_i - t_j)                       # [3, BNB]
+            mdelta = out_all[16:23]                          # [7, BNB]
+            mtr = out_all[24:25]                             # [1, BNB]
+            mr = mtr * (t_i - t_j)                           # [3, BNB]
 
             # online softmax fold (running max / denominator / numerators)
             m_new = jnp.maximum(m_run, logits)
@@ -336,6 +378,7 @@ def pack_lane_weights(params, H: int) -> list:
     w1f = jnp.asarray(p["feature"]["lin1"]["w"], F32)    # [H+M, T]
     w1r = jnp.asarray(p["rotation"]["lin1"]["w"], F32)   # [M+4, T]
     w1t = jnp.asarray(p["torsion"]["lin1"]["w"], F32)    # [M+14, T]
+    w2all, b2all = pack_head_lin2(p)
     return [
         col(w1m[:H]),                                     # wmi [T, H]
         bias(p["message"]["lin1"]["b"]),
@@ -345,15 +388,12 @@ def pack_lane_weights(params, H: int) -> list:
                          col(p["translation"]["lin1"]["w"])), axis=0),
         w1a[M].reshape(-1, 1), w1a[M + 1].reshape(-1, 1),
         bias(p["attention"]["lin1"]["b"]),
-        col(p["attention"]["lin2"]["w"]), bias(p["attention"]["lin2"]["b"]),
+        w2all, b2all,                 # fused head lin2 block [32, 4T]
         col(w1f[:H]), col(w1f[H:]), bias(p["feature"]["lin1"]["b"]),
         col(p["feature"]["lin2"]["w"]), bias(p["feature"]["lin2"]["b"]),
         bias(p["translation"]["lin1"]["b"]),
-        col(p["translation"]["lin2"]["w"]), bias(p["translation"]["lin2"]["b"]),
         col(w1r[M:]), bias(p["rotation"]["lin1"]["b"]),
-        col(p["rotation"]["lin2"]["w"]), bias(p["rotation"]["lin2"]["b"]),
         col(w1t[M:]), bias(p["torsion"]["lin1"]["b"]),
-        col(p["torsion"]["lin2"]["w"]), bias(p["torsion"]["lin2"]["b"]),
     ]
 
 

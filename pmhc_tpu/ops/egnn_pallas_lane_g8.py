@@ -147,14 +147,12 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         wm2_ref, bm2_ref,
         wheads_ref,
         wad_ref, waq_ref, ba1_ref,
-        wa2_ref, ba2_ref,
+        w2all_ref, b2all_ref,
         wfh_ref, wfm_ref, bf1_ref,
         wf2_ref, bf2_ref,
-        bl1_ref, wl2_ref, bl2_ref,
+        bl1_ref,
         wrq_ref, br1_ref,
-        wr2_ref, br2_ref,
         wtt_ref, bt1_ref,
-        wt2_ref, bt2_ref,
         # outputs (node-lane layout)
         out_q_ref, out_t_ref, out_sin_ref, out_cos_ref, out_feat_ref,
     ):
@@ -219,15 +217,6 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
 
             heads8 = _mm(wheads_ref[:], msg8)             # [4T, BNB8]
 
-            att_pre = (
-                heads8[0:T] + wad * (-d2) + waq * jnp.square(qdot)
-                + ba1_ref[:]
-            )
-            logits = (
-                _mm(wa2_ref[:], jnp.maximum(att_pre, 0.0)) + ba2_ref[:]
-                - (1.0 - mask8) * INFINITY
-            )                                              # [1, BNB8]
-
             # ---- rotation geometry, component-major ------------------
             qj_cm = rep(qjg_cm_ref[g])                    # [32, BNB]
             # exact-zero guard: batch-PADDING lanes carry zero quats and
@@ -238,26 +227,29 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             conj = jnp.concatenate((qj_cm[0:8], -qj_cm[8:32]), axis=0)
             inv_cm = conj / _mm(t4, sq)                   # [32, BNB]
             local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
-            rot_pre = (
-                heads8[T:2 * T]
-                + _mm(wrq_ref[:], cm_to_lane(local_cm))
-                + br1_ref[:]
+
+            # the four heads' pre-activations as ONE [4T, BNB8] tensor,
+            # one relu, one fused block-diagonal lin2 matmul (W2ALL)
+            W8 = heads8.shape[-1]
+            pre_heads = heads8 + jnp.concatenate(
+                (
+                    wad * (-d2) + waq * jnp.square(qdot) + ba1_ref[:],
+                    _mm(wrq_ref[:], cm_to_lane(local_cm)) + br1_ref[:],
+                    tor_node8 + bt1_ref[:],
+                    jnp.broadcast_to(bl1_ref[:], (T, W8)),
+                ),
+                axis=0,
             )
+            out_all = _mm(w2all_ref[:], jnp.maximum(pre_heads, 0.0)) \
+                + b2all_ref[:]                             # [32, BNB8]
+            logits = out_all[0:1] - (1.0 - mask8) * INFINITY
             # sigmoid quat used UNNORMALIZED (reference model.py:291-292)
-            ld8 = jax.nn.sigmoid(
-                _mm(wr2_ref[:], jnp.maximum(rot_pre, 0.0)) + br2_ref[:]
-            )                                              # [4, BNB8]
+            ld8 = jax.nn.sigmoid(out_all[8:12])            # [4, BNB8]
             gdelta_cm = _qmul_cm(qj_cm, _qmul_cm(lane_to_cm(ld8), inv_cm))
             gdelta8 = cm_to_lane(gdelta_cm)               # [4, BNB8]
-
-            # ---- torsion / translation heads -------------------------
-            tor_pre = heads8[2 * T:3 * T] + tor_node8 + bt1_ref[:]
-            mdelta8 = (
-                _mm(wt2_ref[:], jnp.maximum(tor_pre, 0.0)) + bt2_ref[:]
-            )                                              # [7, BNB8]
-            tr_hid = jnp.maximum(heads8[3 * T:] + bl1_ref[:], 0.0)
-            mtr8 = _mm(wl2_ref[:], tr_hid) + bl2_ref[:]   # [1, BNB8]
-            mr8 = mtr8 * tdiff                            # [3, BNB8]
+            mdelta8 = out_all[16:23]                       # [7, BNB8]
+            mtr8 = out_all[24:25]                          # [1, BNB8]
+            mr8 = mtr8 * tdiff                             # [3, BNB8]
 
             # ---- group tree-fold to node width, then one online-softmax
             # fold into the running accumulators -----------------------

@@ -53,10 +53,13 @@ F32 = jnp.float32
 # loop-weight pytree order (everything the neighbour loop consumes)
 # "wheads" fuses the four msg-consuming head lin1 matrices
 # [wam; wrm; wtm; wl1] into one [4T, M] block: one MXU op per neighbour
-# instead of four (and one fused dW / dmsg matmul in the backward)
-_LOOP_W = ("wm2", "bm2", "wheads", "wad", "waq", "ba1", "wa2", "ba2",
-           "bl1", "wl2", "bl2", "wrq", "br1", "wr2", "br2",
-           "bt1", "wt2", "bt2")
+# instead of four (and one fused dW / dmsg matmul in the backward).
+# "w2all"/"b2all" fuse the four head lin2 matmuls the same way
+# (egnn_pallas_lane.pack_head_lin2: block-diagonal [32, 4T], head rows
+# at 8-aligned offsets) — one fused lin2 matmul, one fused dW2ALL outer
+# product and one fused d(pre) matmul in the backward.
+_LOOP_W = ("wm2", "bm2", "wheads", "wad", "waq", "ba1", "w2all", "b2all",
+           "bl1", "wrq", "br1", "bt1")
 
 
 def _qconj(q):
@@ -84,10 +87,6 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
     T = w["wheads"].shape[0] // 4
     heads = _mm(w["wheads"], msg)  # [4T, BNB]: att | rot | tor | transl
-    att_pre = (heads[0:T] + w["wad"] * (-d2)
-               + w["waq"] * jnp.square(qdot) + w["ba1"])
-    hid_a = jnp.maximum(att_pre, 0.0)
-    logit = _mm(w["wa2"], hid_a) + w["ba2"] - (1.0 - mask) * INFINITY
 
     # exact-zero guard: batch-PADDING lanes carry zero quats, and 0/0
     # NaNs would poison the backward's lane-reduction weight grads even
@@ -97,27 +96,34 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     inv_qj = _qconj(q_j) / sq
     v = _qmul_rows(q_i, q_j)
     local_q = _qmul_rows(inv_qj, v)
-    rot_pre = heads[T:2 * T] + _mm(w["wrq"], local_q) + w["br1"]
-    hid_r = jnp.maximum(rot_pre, 0.0)
-    ld = jax.nn.sigmoid(_mm(w["wr2"], hid_r) + w["br2"])
+
+    # fused head pre-activations + ONE block-diagonal lin2 (w2all)
+    BNB = heads.shape[-1]
+    pre_heads = heads + jnp.concatenate(
+        (
+            w["wad"] * (-d2) + w["waq"] * jnp.square(qdot) + w["ba1"],
+            _mm(w["wrq"], local_q) + w["br1"],
+            tor_node + w["bt1"],
+            jnp.broadcast_to(w["bl1"], (T, BNB)),
+        ),
+        axis=0,
+    )
+    relu_heads = jnp.maximum(pre_heads, 0.0)
+    out_all = _mm(w["w2all"], relu_heads) + w["b2all"]  # [32, BNB]
+    logit = out_all[0:1] - (1.0 - mask) * INFINITY
+    ld = jax.nn.sigmoid(out_all[8:12])
     u = _qmul_rows(ld, inv_qj)
     gdelta = _qmul_rows(q_j, u)
-
-    tor_pre = heads[2 * T:3 * T] + tor_node + w["bt1"]
-    hid_t = jnp.maximum(tor_pre, 0.0)
-    mdelta = _mm(w["wt2"], hid_t) + w["bt2"]
-
-    tr_pre = heads[3 * T:] + w["bl1"]
-    tr_hid = jnp.maximum(tr_pre, 0.0)
-    mtr = _mm(w["wl2"], tr_hid) + w["bl2"]
+    mdelta = out_all[16:23]
+    mtr = out_all[24:25]
     mr = mtr * (t_i - t_j)
 
     return dict(pre=pre, hid_m=hid_m, msg=msg, q_j=q_j, t_j=t_j, d2=d2,
-                qdot=qdot, att_pre=att_pre, hid_a=hid_a, logit=logit,
+                qdot=qdot, logit=logit,
                 sq=sq, inv_qj=inv_qj, v=v, local_q=local_q,
-                rot_pre=rot_pre, hid_r=hid_r, ld=ld, u=u, gdelta=gdelta,
-                tor_pre=tor_pre, hid_t=hid_t, mdelta=mdelta, tr_pre=tr_pre,
-                tr_hid=tr_hid, mtr=mtr, mr=mr, mask=mask)
+                pre_heads=pre_heads, relu_heads=relu_heads,
+                ld=ld, u=u, gdelta=gdelta,
+                mdelta=mdelta, mtr=mtr, mr=mr, mask=mask)
 
 
 def _make_loop_fwd(k: int, bf16: bool, unroll: int):
@@ -281,25 +287,12 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dmr = e * g_tr                       # [3, BNB]
             dmsg = g_msg                         # [M, BNB] (plain sum)
 
-            # ---- translation head -------------------------------------
+            # ---- translation value path --------------------------------
             dmtr = jnp.sum(dmr * (t_i - t_j), axis=0, keepdims=True)
             dti = dti + dmr * r_["mtr"]
             dtj_np = -dmr * r_["mtr"]
-            dtr_hid = w["wl2"].T * dmtr          # [T,1] * [1,BNB]
-            dtr_pre = jnp.where(r_["tr_pre"] > 0.0, dtr_hid, 0.0)
-            dw["wl2"] += _mmL(dmtr, r_["tr_hid"])
-            dw["bl2"] += jnp.sum(dmtr, axis=1, keepdims=True)
-            dw["bl1"] += jnp.sum(dtr_pre, axis=1, keepdims=True)
 
-            # ---- torsion head ------------------------------------------
-            dhid_t = _mm0(w["wt2"], dmdelta)
-            dtor_pre = jnp.where(r_["tor_pre"] > 0.0, dhid_t, 0.0)
-            dw["wt2"] += _mmL(dmdelta, r_["hid_t"])
-            dw["bt2"] += jnp.sum(dmdelta, axis=1, keepdims=True)
-            dw["bt1"] += jnp.sum(dtor_pre, axis=1, keepdims=True)
-            dtor_node = dtor_node + dtor_pre
-
-            # ---- rotation head -----------------------------------------
+            # ---- rotation chain above the sigmoid ----------------------
             # gdelta = q_j (x) u, u = ld (x) inv_qj   (bilinear adjoints:
             # d a = g (x) conj(b), d b = conj(a) (x) g)
             dqj_q = _qmul_rows(dgdelta, _qconj(u_q))
@@ -307,10 +300,31 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dld = _qmul_rows(du, _qconj(inv_qj))
             dinv = _qmul_rows(_qconj(ld), du)
             dz = dld * ld * (1.0 - ld)
-            dhid_r = _mm0(w["wr2"], dz)
-            drot_pre = jnp.where(r_["rot_pre"] > 0.0, dhid_r, 0.0)
-            dw["wr2"] += _mmL(dz, r_["hid_r"])
-            dw["br2"] += jnp.sum(dz, axis=1, keepdims=True)
+
+            # ---- fused head lin2 backward ------------------------------
+            # d(out_all) rows at the 8-aligned head offsets; one dW2ALL
+            # outer product, one bias rowsum, one d(pre_heads) matmul
+            # gated by the shared relu mask
+            BNB_ = dlogit.shape[-1]
+            z_rows = lambda r: jnp.zeros((r, BNB_), F32)
+            dout_all = jnp.concatenate(
+                (dlogit, z_rows(7), dz, z_rows(4), dmdelta, z_rows(1),
+                 dmtr, z_rows(7)), axis=0)       # [32, BNB]
+            dw["w2all"] += _mmL(dout_all, r_["relu_heads"])
+            dw["b2all"] += jnp.sum(dout_all, axis=1, keepdims=True)
+            dpre_heads = jnp.where(
+                r_["pre_heads"] > 0.0, _mm0(w["w2all"], dout_all), 0.0
+            )                                     # [4T, BNB]
+            T = w["wheads"].shape[0] // 4
+            datt_pre = dpre_heads[0:T]
+            drot_pre = dpre_heads[T:2 * T]
+            dtor_pre = dpre_heads[2 * T:3 * T]
+            dtr_pre = dpre_heads[3 * T:]
+
+            # ---- per-head pre-activation extras ------------------------
+            dw["bl1"] += jnp.sum(dtr_pre, axis=1, keepdims=True)
+            dw["bt1"] += jnp.sum(dtor_pre, axis=1, keepdims=True)
+            dtor_node = dtor_node + dtor_pre
             dw["wrq"] += _mmL(drot_pre, r_["local_q"])
             dw["br1"] += jnp.sum(drot_pre, axis=1, keepdims=True)
             dlocal = _mm0(w["wrq"], drot_pre)    # [4, BNB]
@@ -328,20 +342,13 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
                           keepdims=True) / r_["sq"]
             dqj_q = dqj_q + 2.0 * q_j * ds
 
-            # ---- attention head ----------------------------------------
-            dhid_a = w["wa2"].T * dlogit         # [T,1] * [1,BNB]
-            datt_pre = jnp.where(r_["att_pre"] > 0.0, dhid_a, 0.0)
-            dw["wa2"] += _mmL(dlogit, r_["hid_a"])
-            dw["ba2"] += jnp.sum(dlogit, axis=1, keepdims=True)
             dw["ba1"] += jnp.sum(datt_pre, axis=1, keepdims=True)
             dw["wad"] += jnp.sum(datt_pre * (-r_["d2"]), axis=1, keepdims=True)
             dw["waq"] += jnp.sum(datt_pre * jnp.square(r_["qdot"]), axis=1,
                                  keepdims=True)
             # fused heads backward: one dW outer product + one dmsg matmul
-            dpre_cat = jnp.concatenate(
-                (datt_pre, drot_pre, dtor_pre, dtr_pre), axis=0)  # [4T, BNB]
-            dw["wheads"] += _mmL(dpre_cat, r_["msg"])
-            dmsg = dmsg + _mm0(w["wheads"], dpre_cat)
+            dw["wheads"] += _mmL(dpre_heads, r_["msg"])
+            dmsg = dmsg + _mm0(w["wheads"], dpre_heads)
             dd2 = -jnp.sum(w["wad"] * datt_pre, axis=0, keepdims=True)
             dqdot = 2.0 * r_["qdot"] * jnp.sum(w["waq"] * datt_pre, axis=0,
                                                keepdims=True)
@@ -461,10 +468,6 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         d28 = jnp.sum(jnp.square(tdiff8), axis=0, keepdims=True)
         qdot8 = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
         heads8 = _mm(w["wheads"], msg8)
-        att_pre8 = (w["ba1"] + heads8[0:T] + w["wad"] * (-d28)
-                    + w["waq"] * jnp.square(qdot8))
-        hid_a8 = jnp.maximum(att_pre8, 0.0)
-        logit8 = _mm(w["wa2"], hid_a8) + w["ba2"] - (1.0 - mask8) * INFINITY
 
         qj_cm = rep(qjg_cm_ref[g])
         # exact-zero guard as in _recompute_block: padded lanes carry
@@ -475,33 +478,40 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         v_cm = _qmul_cm(qi_cm, qj_cm)
         local_cm = _qmul_cm(inv_cm, v_cm)
         local8 = cm_to_lane(local_cm)
-        rot_pre8 = heads8[T:2 * T] + _mm(w["wrq"], local8) + w["br1"]
-        hid_r8 = jnp.maximum(rot_pre8, 0.0)
-        ld8 = jax.nn.sigmoid(_mm(w["wr2"], hid_r8) + w["br2"])
+
+        # fused head pre-activations + ONE block-diagonal lin2 (w2all)
+        W8 = heads8.shape[-1]
+        pre_heads8 = heads8 + jnp.concatenate(
+            (
+                w["wad"] * (-d28) + w["waq"] * jnp.square(qdot8) + w["ba1"],
+                _mm(w["wrq"], local8) + w["br1"],
+                tor_node8 + w["bt1"],
+                jnp.broadcast_to(w["bl1"], (T, W8)),
+            ),
+            axis=0,
+        )
+        relu_heads8 = jnp.maximum(pre_heads8, 0.0)
+        out_all8 = _mm(w["w2all"], relu_heads8) + w["b2all"]  # [32, BNB8]
+        logit8 = out_all8[0:1] - (1.0 - mask8) * INFINITY
+        ld8 = jax.nn.sigmoid(out_all8[8:12])
         ld_cm = lane_to_cm(ld8)
         u_cm = _qmul_cm(ld_cm, inv_cm)
         gdelta_cm = _qmul_cm(qj_cm, u_cm)
         gdelta8 = cm_to_lane(gdelta_cm)
-
-        tor_pre8 = heads8[2 * T:3 * T] + tor_node8 + w["bt1"]
-        hid_t8 = jnp.maximum(tor_pre8, 0.0)
-        mdelta8 = _mm(w["wt2"], hid_t8) + w["bt2"]
-
-        tr_pre8 = heads8[3 * T:] + w["bl1"]
-        tr_hid8 = jnp.maximum(tr_pre8, 0.0)
-        mtr8 = _mm(w["wl2"], tr_hid8) + w["bl2"]
+        mdelta8 = out_all8[16:23]
+        mtr8 = out_all8[24:25]
         mr8 = mtr8 * tdiff8
 
         return dict(
             pre8=pre8, hid_m8=hid_m8, msg8=msg8, q_j8=q_j8, t_j8=t_j8,
             mask8=mask8, tdiff8=tdiff8, d28=d28, qdot8=qdot8,
-            att_pre8=att_pre8, hid_a8=hid_a8, logit8=logit8,
+            logit8=logit8,
             qj_cm=qj_cm, sq8=sq8, sq_cm=sq_cm, inv_cm=inv_cm, v_cm=v_cm,
-            local_cm=local_cm, local8=local8, rot_pre8=rot_pre8,
-            hid_r8=hid_r8, ld8=ld8, ld_cm=ld_cm, u_cm=u_cm,
+            local_cm=local_cm, local8=local8,
+            pre_heads8=pre_heads8, relu_heads8=relu_heads8,
+            ld8=ld8, ld_cm=ld_cm, u_cm=u_cm,
             gdelta_cm=gdelta_cm, gdelta8=gdelta8,
-            tor_pre8=tor_pre8, hid_t8=hid_t8, mdelta8=mdelta8,
-            tr_pre8=tr_pre8, tr_hid8=tr_hid8, mtr8=mtr8, mr8=mr8,
+            mdelta8=mdelta8, mtr8=mtr8, mr8=mr8,
         )
 
     return recompute, cm_to_lane, lane_to_cm
@@ -685,25 +695,12 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dmr8 = e8 * g_tr8
             dmsg8 = g_msg8
 
-            # ---- translation head -------------------------------------
+            # ---- translation value path --------------------------------
             dmtr8 = rowsum_rows(dmr8 * r_["tdiff8"])
             dti = dti + _tree_lane(dmr8 * r_["mtr8"], BNB, add)
             dtj8 = -(dmr8 * r_["mtr8"])
-            dtr_hid8 = w["wl2"].T * dmtr8
-            dtr_pre8 = jnp.where(r_["tr_pre8"] > 0.0, dtr_hid8, 0.0)
-            dw["wl2"] += _mmL(dmtr8, r_["tr_hid8"])
-            dw["bl2"] += rowsum(dmtr8)
-            dw["bl1"] += rowsum(dtr_pre8)
 
-            # ---- torsion head ------------------------------------------
-            dhid_t8 = _mm0(w["wt2"], dmdelta8)
-            dtor_pre8 = jnp.where(r_["tor_pre8"] > 0.0, dhid_t8, 0.0)
-            dw["wt2"] += _mmL(dmdelta8, r_["hid_t8"])
-            dw["bt2"] += rowsum(dmdelta8)
-            dw["bt1"] += rowsum(dtor_pre8)
-            dtor_node = dtor_node + _tree_lane(dtor_pre8, BNB, add)
-
-            # ---- rotation head (component-major adjoints) --------------
+            # ---- rotation chain above the sigmoid (component-major) ----
             qj_cm, inv_cm, ld_cm = r_["qj_cm"], r_["inv_cm"], r_["ld_cm"]
             dgd_cm = lane_to_cm(dgdelta8)
             dqj_cm = _qmul_cm(dgd_cm, _conj_cm(r_["u_cm"]))
@@ -712,10 +709,28 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dinv_cm = _qmul_cm(_conj_cm(ld_cm), du_cm)
             dz_cm = dld_cm * ld_cm * (1.0 - ld_cm)
             dz8 = cm_to_lane(dz_cm)
-            dhid_r8 = _mm0(w["wr2"], dz8)
-            drot_pre8 = jnp.where(r_["rot_pre8"] > 0.0, dhid_r8, 0.0)
-            dw["wr2"] += _mmL(dz8, r_["hid_r8"])
-            dw["br2"] += rowsum(dz8)
+
+            # ---- fused head lin2 backward ------------------------------
+            W8_ = dlogit8.shape[-1]
+            z_rows = lambda r: jnp.zeros((r, W8_), F32)
+            dout_all8 = jnp.concatenate(
+                (dlogit8, z_rows(7), dz8, z_rows(4), dmdelta8, z_rows(1),
+                 dmtr8, z_rows(7)), axis=0)      # [32, BNB8]
+            dw["w2all"] += _mmL(dout_all8, r_["relu_heads8"])
+            dw["b2all"] += rowsum(dout_all8)
+            dpre_heads8 = jnp.where(
+                r_["pre_heads8"] > 0.0, _mm0(w["w2all"], dout_all8), 0.0
+            )                                     # [4T, BNB8]
+            T = w["wheads"].shape[0] // 4
+            datt_pre8 = dpre_heads8[0:T]
+            drot_pre8 = dpre_heads8[T:2 * T]
+            dtor_pre8 = dpre_heads8[2 * T:3 * T]
+            dtr_pre8 = dpre_heads8[3 * T:]
+
+            # ---- per-head pre-activation extras ------------------------
+            dw["bl1"] += rowsum(dtr_pre8)
+            dw["bt1"] += rowsum(dtor_pre8)
+            dtor_node = dtor_node + _tree_lane(dtor_pre8, BNB, add)
             dw["wrq"] += _mmL(drot_pre8, r_["local8"])
             dw["br1"] += rowsum(drot_pre8)
             dlocal8 = _mm0(w["wrq"], drot_pre8)
@@ -732,18 +747,11 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                 / r_["sq8"]
             dqj_cm = dqj_cm + 2.0 * qj_cm * _mm(t4, ds8)
 
-            # ---- attention head ----------------------------------------
-            dhid_a8 = w["wa2"].T * dlogit8
-            datt_pre8 = jnp.where(r_["att_pre8"] > 0.0, dhid_a8, 0.0)
-            dw["wa2"] += _mmL(dlogit8, r_["hid_a8"])
-            dw["ba2"] += rowsum(dlogit8)
             dw["ba1"] += rowsum(datt_pre8)
             dw["wad"] += rowsum(datt_pre8 * (-r_["d28"]))
             dw["waq"] += rowsum(datt_pre8 * jnp.square(r_["qdot8"]))
-            dpre_cat8 = jnp.concatenate(
-                (datt_pre8, drot_pre8, dtor_pre8, dtr_pre8), axis=0)
-            dw["wheads"] += _mmL(dpre_cat8, r_["msg8"])
-            dmsg8 = dmsg8 + _mm0(w["wheads"], dpre_cat8)
+            dw["wheads"] += _mmL(dpre_heads8, r_["msg8"])
+            dmsg8 = dmsg8 + _mm0(w["wheads"], dpre_heads8)
             dd28 = -jnp.sum(w["wad"] * datt_pre8, axis=0, keepdims=True)
             dqdot8 = 2.0 * r_["qdot8"] * jnp.sum(
                 w["waq"] * datt_pre8, axis=0, keepdims=True)
@@ -860,10 +868,8 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         "wm2": (M, T), "bm2": (M, 1),
         "wheads": (4 * T, M),
         "wad": (T, 1), "waq": (T, 1), "ba1": (T, 1),
-        "wa2": (1, T), "ba2": (1, 1),
-        "bl1": (T, 1), "wl2": (1, T), "bl2": (1, 1),
-        "wrq": (T, 4), "br1": (T, 1), "wr2": (4, T), "br2": (4, 1),
-        "bt1": (T, 1), "wt2": (7, T), "bt2": (7, 1),
+        "w2all": (32, 4 * T), "b2all": (32, 1),
+        "bl1": (T, 1), "wrq": (T, 4), "br1": (T, 1), "bt1": (T, 1),
     }
 
     cmgroups = pl.BlockSpec(
@@ -1045,7 +1051,10 @@ def egnn_forward_pallas_lane_vjp(
         # (76.4k vs 54.5k ex/s, B=1024 bf16).
         kc, Bpc, _, nc = _cell_geometry(CHUNK, N, lane_block)
         batch_grid = nc == 1 and (interpret or Bpc % 128 == 0)
-        if g8 and chunk is None and not batch_grid and not interpret:
+        if g8 and chunk is None and not batch_grid and not interpret and bf16:
+            # bf16 only: the 128-wide g8 backward grid cell fits VMEM at
+            # 2-byte lanes; at f32 it needs ~165 MB (measured) > 128 MB,
+            # so f32 keeps CHUNK=64 and the lax.map fallback.
             kc, Bpc, _, nc = _cell_geometry(128, N, lane_block)
             if nc == 1 and Bpc % 128 == 0 and B > 128:
                 CHUNK, batch_grid = 128, True
@@ -1127,10 +1136,13 @@ def egnn_forward_pallas_lane_vjp(
     s_mat = lane_s_mat(k, Bp)
     j_mat = lane_j_mat(k, Bp)
 
+    from pmhc_tpu.ops.egnn_pallas_lane import pack_head_lin2
+
     w1a = jnp.asarray(params["attention"]["lin1"]["w"], F32)
     w1r = jnp.asarray(params["rotation"]["lin1"]["w"], F32)
     col = lambda w: jnp.asarray(w, F32).T
     bias = lambda b: jnp.asarray(b, F32).reshape(-1, 1)
+    w2all, b2all = pack_head_lin2(params)
     loop_w = {
         "wm2": col(params["message"]["lin2"]["w"]),
         "bm2": bias(params["message"]["lin2"]["b"]),
@@ -1143,18 +1155,14 @@ def egnn_forward_pallas_lane_vjp(
         "wad": w1a[M].reshape(-1, 1),
         "waq": w1a[M + 1].reshape(-1, 1),
         "ba1": bias(params["attention"]["lin1"]["b"]),
-        "wa2": col(params["attention"]["lin2"]["w"]),
-        "ba2": bias(params["attention"]["lin2"]["b"]),
+        # fused head lin2 block (pack_head_lin2 is concat/pad-built, so
+        # autodiff routes dW2ALL back onto the four (w, b) pairs)
+        "w2all": w2all,
+        "b2all": b2all,
         "bl1": bias(params["translation"]["lin1"]["b"]),
-        "wl2": col(params["translation"]["lin2"]["w"]),
-        "bl2": bias(params["translation"]["lin2"]["b"]),
         "wrq": col(w1r[M:]),
         "br1": bias(params["rotation"]["lin1"]["b"]),
-        "wr2": col(params["rotation"]["lin2"]["w"]),
-        "br2": bias(params["rotation"]["lin2"]["b"]),
         "bt1": bias(params["torsion"]["lin1"]["b"]),
-        "wt2": col(params["torsion"]["lin2"]["w"]),
-        "bt2": bias(params["torsion"]["lin2"]["b"]),
     }
 
     if g8:

@@ -90,8 +90,13 @@ def test_vjp_layer_grads_match_dense(g8):
             jax.tree_util.tree_leaves(b_tree),
         ):
             a, b = np.asarray(a), np.asarray(b)
+            # floor 3e-5: attention.lin2.b's true gradient is ANALYTIC
+            # ZERO (a constant logit shift cancels through the softmax
+            # ratios GD/D, TA/D, TR/D), so both sides produce only
+            # cancellation noise of O(1e-5) whose pattern depends on the
+            # kernel's reduction order
             np.testing.assert_allclose(
-                b, a, atol=max(2e-4 * float(np.abs(a).max()), 1e-5),
+                b, a, atol=max(2e-4 * float(np.abs(a).max()), 3e-5),
                 err_msg=f"{name}{jax.tree_util.keystr(path)}",
             )
 
@@ -210,8 +215,13 @@ def test_vjp_layer_batch_grid_grads_match_unchunked(g8):
             jax.tree_util.tree_leaves(b_tree),
         ):
             a, b = np.asarray(a), np.asarray(b)
+            # floor 3e-5: attention.lin2.b's true gradient is ANALYTIC
+            # ZERO (a constant logit shift cancels through the softmax
+            # ratios GD/D, TA/D, TR/D), so both sides produce only
+            # cancellation noise of O(1e-5) whose pattern depends on the
+            # kernel's reduction order
             np.testing.assert_allclose(
-                b, a, atol=max(2e-4 * float(np.abs(a).max()), 1e-5),
+                b, a, atol=max(2e-4 * float(np.abs(a).max()), 3e-5),
                 err_msg=f"{name}{jax.tree_util.keystr(path)}",
             )
 
