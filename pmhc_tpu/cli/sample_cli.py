@@ -56,10 +56,11 @@ def build_parser() -> ArgumentParser:
                    help="run MLP matmuls in backend-default (bf16 MXU) "
                         "precision — ~1.7x faster on v5e; geometry stays f32")
     p.add_argument("--fast-f32", action="store_true",
-                   help="run XLA-stage matmuls as 3-pass f32 "
-                        "(lax.Precision.HIGH, ~1e-6 relative error) instead "
-                        "of the parity-exact ~6-pass HIGHEST; the Pallas "
-                        "kernels stay HIGHEST")
+                   help="run matmuls as 3-pass f32 instead of the "
+                        "parity-exact ~6-pass HIGHEST: XLA stages use "
+                        "lax.Precision.HIGH (~1e-6 rel err), Pallas kernels "
+                        "emulate it with bf16 hi/lo split dots "
+                        "(~1.5e-5 rel err)")
     return p
 
 

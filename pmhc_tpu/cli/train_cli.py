@@ -62,12 +62,11 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run MLP matmuls in backend-default (bf16 MXU) precision")
     p.add_argument("--fast-f32", action="store_true",
-                   help="run XLA-stage matmuls as 3-pass f32 "
-                        "(lax.Precision.HIGH, ~1e-6 relative error) instead "
-                        "of the parity-exact ~6-pass HIGHEST — +27%% on the "
-                        "xla backend (249 vs 196 steps/s); the Pallas "
-                        "kernels stay HIGHEST (Mosaic lowers only "
-                        "DEFAULT/HIGHEST in-kernel)")
+                   help="run matmuls as 3-pass f32 instead of the "
+                        "parity-exact ~6-pass HIGHEST: XLA stages use "
+                        "lax.Precision.HIGH (~1e-6 rel err, +27%% on the "
+                        "xla backend), Pallas kernels emulate it with bf16 "
+                        "hi/lo split dots (~1.5e-5 rel err)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "

@@ -104,13 +104,35 @@ def mm_maker(bf16):
 
     ``bf16`` is False (f32, precision=HIGHEST — ~6 MXU passes, the
     parity-exact default), True (bf16 MXU inputs + f32 accumulation, the
-    --bf16 mode), or "high" (the --fast-f32 mode: 3-pass f32 on the XLA
-    side; INSIDE kernels Mosaic only lowers DEFAULT/HIGHEST dot
-    precisions, so "high" clamps to HIGHEST here — the kernels are
-    already exact and the --fast-f32 win comes from the XLA stages).
-    Returns (_mm, _mm0, _mmL): contract dim1 x dim0 / dim0 x dim0 /
-    dim1 x dim1 (lanes)."""
-    if bf16 is True:
+    --bf16 mode), or "high" (the --fast-f32 mode). Mosaic only lowers
+    DEFAULT/HIGHEST dot precisions, so "high" EMULATES the 3-pass f32
+    of lax.Precision.HIGH in-kernel: both operands split into bf16
+    hi/lo halves (hi = bf16(a), lo = bf16(a - f32(hi)), ~16 mantissa
+    bits combined) and the product computed as hi@hi + hi@lo + lo@hi —
+    three one-pass MXU dots with f32 accumulation, ~1.5e-5 relative
+    error (the dropped lo@lo term is O(2^-16) relative), vs HIGHEST's
+    ~6 passes. Returns (_mm, _mm0, _mmL): contract dim1 x dim0 /
+    dim0 x dim0 / dim1 x dim1 (lanes)."""
+    if bf16 == "high":
+        BF16 = jnp.bfloat16
+
+        def _split(a):
+            hi = a.astype(BF16)
+            return hi, (a - hi.astype(F32)).astype(BF16)
+
+        def _make(dims):
+            def f(a, b):
+                ah, al = _split(a)
+                bh, bl = _split(b)
+                d = lambda x, y: lax.dot_general(
+                    x, y, (dims, ((), ())), preferred_element_type=F32)
+                return d(ah, bh) + d(ah, bl) + d(al, bh)
+            return f
+
+        _mm = _make(((1,), (0,)))
+        _mm0 = _make(((0,), (0,)))
+        _mmL = _make(((1,), (1,)))
+    elif bf16 is True:
         def pair(a, b):
             return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
 
@@ -169,9 +191,10 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
     ``bf16``: True runs the MLP matmuls with bf16 MXU inputs and f32
     accumulation (the same trade as the XLA path's --bf16 mode: one MXU
     pass instead of the ~6 of precision=HIGHEST); the string "high"
-    selects 3-pass f32 (lax.Precision.HIGH — ~1e-6 relative error, the
-    --fast-f32 mode). Geometry (quaternion algebra, distances, softmax,
-    sin/cos composition) stays f32 in every mode."""
+    selects the in-kernel 3-pass f32 emulation (bf16 hi/lo split dots,
+    ~1.5e-5 relative error — the --fast-f32 mode; see mm_maker).
+    Geometry (quaternion algebra, distances, softmax, sin/cos
+    composition) stays f32 in every mode."""
 
     _mm, _mm0, _ = mm_maker(bf16)
 

@@ -143,3 +143,24 @@ def test_lane_kernel_bf16_close_to_f32():
         np.asarray(b_f.trans), np.asarray(f32_f.trans), atol=0.5)
     np.testing.assert_allclose(np.asarray(b_t), np.asarray(f32_t), atol=0.1)
     np.testing.assert_allclose(np.asarray(b_h), np.asarray(f32_h), atol=0.5)
+
+
+def test_lane_kernel_high_tracks_f32_tightly():
+    """The "high" mode (in-kernel 3-pass f32 emulation via bf16 hi/lo
+    split dots — the --fast-f32 kernel path) must track the HIGHEST-
+    precision kernel ~2.5 orders tighter than plain bf16 (~1.5e-5
+    relative per dot vs ~4e-3): same structure as the bf16 sanity test
+    but at near-f32 tolerances."""
+    params, args = _layer_inputs(batch_size=4)
+    f32_f, f32_t, f32_h = egnn_forward_pallas_lane(
+        params, *args, lane_block=128, interpret=True)
+    h_f, h_t, h_h = egnn_forward_pallas_lane(
+        params, *args, lane_block=128, interpret=True, bf16="high")
+    np.testing.assert_allclose(
+        np.asarray(h_f.quats), np.asarray(f32_f.quats), atol=3e-4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(h_f.quats), axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(h_f.trans), np.asarray(f32_f.trans), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(f32_t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(h_h), np.asarray(f32_h), atol=3e-3)

@@ -238,3 +238,46 @@ def test_vjp_layer_lax_map_fallback():
         np.asarray(lane_f.trans), np.asarray(dense_f.trans), atol=2e-4)
     np.testing.assert_allclose(
         np.asarray(lane_h), np.asarray(dense_h), atol=2e-4)
+
+
+@pytest.mark.parametrize("g8", [False, True])
+def test_vjp_layer_grads_high_mode_close_to_dense(g8):
+    """bf16="high" (in-kernel 3-pass f32 emulation, the --fast-f32
+    kernel path): the hand-written backward's grads stay within split-
+    dot rounding (~1.5e-5 relative per dot, amplified through the two
+    chained MLP levels) of the exact dense f32 grads."""
+    params, args = _layer_inputs(batch_size=4)
+    (frames, torsions, h, edge_pre, mask, pocket_h, pk_frames, pk_mask) = args
+
+    def loss(fn):
+        def f(p, fr_q, fr_t, tors, hh, edge, pk_h, pk_q, pk_t):
+            frames_ = type(frames)(fr_q, fr_t)
+            pk_frames_ = type(frames)(pk_q, pk_t)
+            fr, tr, out_h = fn(p, frames_, tors, hh, edge, mask, pk_h,
+                               pk_frames_, pk_mask)
+            return (jnp.sum(fr.trans ** 2) + jnp.sum(fr.quats * 0.7)
+                    + jnp.sum(tr ** 2) + jnp.sum(out_h * 0.3))
+        return f
+
+    argnums = tuple(range(9))
+    diff_args = (params, frames.quats, frames.trans, torsions, h, edge_pre,
+                 pocket_h, pk_frames.quats, pk_frames.trans)
+    g_dense = jax.grad(loss(egnn_forward), argnums=argnums)(*diff_args)
+    g_lane = jax.grad(
+        loss(lambda *a: egnn_forward_pallas_lane_vjp(
+            *a, interpret=True, g8=g8, bf16="high")),
+        argnums=argnums,
+    )(*diff_args)
+
+    names = ("params", "frames.quats", "frames.trans", "torsions", "h",
+             "edge_pre", "pocket_h", "pk_frames.quats", "pk_frames.trans")
+    for name, a_tree, b_tree in zip(names, g_dense, g_lane):
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(a_tree)[0],
+            jax.tree_util.tree_leaves(b_tree),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                b, a, atol=max(2e-3 * float(np.abs(a).max()), 2e-4),
+                err_msg=f"{name}{jax.tree_util.keystr(path)}",
+            )
