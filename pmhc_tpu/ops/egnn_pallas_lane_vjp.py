@@ -66,6 +66,22 @@ def _qconj(q):
     return jnp.concatenate((q[0:1], -q[1:]), axis=0)
 
 
+# Timing-only instrumentation for tools/bench_bwd_stages.py: stage names
+# the g8 BACKWARD loop kernel SKIPS at trace time, so on-chip A/B timing
+# isolates each stage's device cost (the per-stage cycle budget of
+# docs/status.md). Gradients are WRONG under ablation — production code
+# never sets this; the bench tool sets it and calls
+# _loop_fn.cache_clear() around each variant. Stages:
+#   "rotcm"   component-major quaternion adjoint chains + crossings
+#   "dw"      every weight-gradient accumulation (dW outer products,
+#             bias rowsums)
+#   "head2mm" the fused head-lin2 backward matmul (d pre_heads)
+#   "headmm"  the fused head-lin1 backward matmul (d msg)
+#   "msgbwd"  the message-MLP backward matmul (d hid_m -> d a_i)
+#   "nbr"     the per-neighbour collapse/output block (daj/dqj/dtj/dedge)
+ABLATE_STAGES: frozenset = frozenset()
+
+
 # the 3-mode kernel matmul family (False / True / "high") lives with the
 # forward kernel
 _mm_maker = mm_maker
@@ -606,6 +622,7 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
     )
 
     _mm, _mm0, _mmL = _mm_maker(bf16)
+    abl = ABLATE_STAGES  # timing-only stage ablation (see definition)
 
     def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
                aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref,
@@ -702,13 +719,16 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
 
             # ---- rotation chain above the sigmoid (component-major) ----
             qj_cm, inv_cm, ld_cm = r_["qj_cm"], r_["inv_cm"], r_["ld_cm"]
-            dgd_cm = lane_to_cm(dgdelta8)
-            dqj_cm = _qmul_cm(dgd_cm, _conj_cm(r_["u_cm"]))
-            du_cm = _qmul_cm(_conj_cm(qj_cm), dgd_cm)
-            dld_cm = _qmul_cm(du_cm, _conj_cm(inv_cm))
-            dinv_cm = _qmul_cm(_conj_cm(ld_cm), du_cm)
-            dz_cm = dld_cm * ld_cm * (1.0 - ld_cm)
-            dz8 = cm_to_lane(dz_cm)
+            if "rotcm" in abl:  # timing ablation: wrong grads
+                dz8 = dgdelta8
+            else:
+                dgd_cm = lane_to_cm(dgdelta8)
+                dqj_cm = _qmul_cm(dgd_cm, _conj_cm(r_["u_cm"]))
+                du_cm = _qmul_cm(_conj_cm(qj_cm), dgd_cm)
+                dld_cm = _qmul_cm(du_cm, _conj_cm(inv_cm))
+                dinv_cm = _qmul_cm(_conj_cm(ld_cm), du_cm)
+                dz_cm = dld_cm * ld_cm * (1.0 - ld_cm)
+                dz8 = cm_to_lane(dz_cm)
 
             # ---- fused head lin2 backward ------------------------------
             W8_ = dlogit8.shape[-1]
@@ -716,10 +736,13 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dout_all8 = jnp.concatenate(
                 (dlogit8, z_rows(7), dz8, z_rows(4), dmdelta8, z_rows(1),
                  dmtr8, z_rows(7)), axis=0)      # [32, BNB8]
-            dw["w2all"] += _mmL(dout_all8, r_["relu_heads8"])
-            dw["b2all"] += rowsum(dout_all8)
+            if "dw" not in abl:
+                dw["w2all"] += _mmL(dout_all8, r_["relu_heads8"])
+                dw["b2all"] += rowsum(dout_all8)
             dpre_heads8 = jnp.where(
-                r_["pre_heads8"] > 0.0, _mm0(w["w2all"], dout_all8), 0.0
+                r_["pre_heads8"] > 0.0,
+                pltpu.repeat(dout_all8, 8, axis=0) if "head2mm" in abl
+                else _mm0(w["w2all"], dout_all8), 0.0
             )                                     # [4T, BNB8]
             T = w["wheads"].shape[0] // 4
             datt_pre8 = dpre_heads8[0:T]
@@ -728,30 +751,38 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dtr_pre8 = dpre_heads8[3 * T:]
 
             # ---- per-head pre-activation extras ------------------------
-            dw["bl1"] += rowsum(dtr_pre8)
-            dw["bt1"] += rowsum(dtor_pre8)
+            if "dw" not in abl:
+                dw["bl1"] += rowsum(dtr_pre8)
+                dw["bt1"] += rowsum(dtor_pre8)
             dtor_node = dtor_node + _tree_lane(dtor_pre8, BNB, add)
-            dw["wrq"] += _mmL(drot_pre8, r_["local8"])
-            dw["br1"] += rowsum(drot_pre8)
-            dlocal8 = _mm0(w["wrq"], drot_pre8)
-            dlocal_cm = lane_to_cm(dlocal8)
-            dinv_cm = dinv_cm + _qmul_cm(dlocal_cm, _conj_cm(r_["v_cm"]))
-            dv_cm = _qmul_cm(_conj_cm(inv_cm), dlocal_cm)
-            dqi = dqi + _mm(r4, _qmul_cm(dv_cm, _conj_cm(qj_cm)))
-            dqj_cm = dqj_cm + _qmul_cm(_conj_cm(qi_cm), dv_cm)
-            dconj_cm = dinv_cm / r_["sq_cm"]
-            dqj_cm = dqj_cm + _conj_cm(dconj_cm)
-            # divide by sq twice (not sq**2): the 1e-30 guard would
-            # underflow to 0 when squared in f32 (0/0 = NaN)
-            ds8 = -_mm(rsq, dinv_cm * _conj_cm(qj_cm) / r_["sq_cm"]) \
-                / r_["sq8"]
-            dqj_cm = dqj_cm + 2.0 * qj_cm * _mm(t4, ds8)
+            if "dw" not in abl:
+                dw["wrq"] += _mmL(drot_pre8, r_["local8"])
+                dw["br1"] += rowsum(drot_pre8)
+            if "rotcm" in abl:  # timing ablation: wrong grads
+                dqj_cm = jnp.zeros((32, BNB), F32)
+            else:
+                dlocal8 = _mm0(w["wrq"], drot_pre8)
+                dlocal_cm = lane_to_cm(dlocal8)
+                dinv_cm = dinv_cm + _qmul_cm(dlocal_cm, _conj_cm(r_["v_cm"]))
+                dv_cm = _qmul_cm(_conj_cm(inv_cm), dlocal_cm)
+                dqi = dqi + _mm(r4, _qmul_cm(dv_cm, _conj_cm(qj_cm)))
+                dqj_cm = dqj_cm + _qmul_cm(_conj_cm(qi_cm), dv_cm)
+                dconj_cm = dinv_cm / r_["sq_cm"]
+                dqj_cm = dqj_cm + _conj_cm(dconj_cm)
+                # divide by sq twice (not sq**2): the 1e-30 guard would
+                # underflow to 0 when squared in f32 (0/0 = NaN)
+                ds8 = -_mm(rsq, dinv_cm * _conj_cm(qj_cm) / r_["sq_cm"]) \
+                    / r_["sq8"]
+                dqj_cm = dqj_cm + 2.0 * qj_cm * _mm(t4, ds8)
 
-            dw["ba1"] += rowsum(datt_pre8)
-            dw["wad"] += rowsum(datt_pre8 * (-r_["d28"]))
-            dw["waq"] += rowsum(datt_pre8 * jnp.square(r_["qdot8"]))
-            dw["wheads"] += _mmL(dpre_heads8, r_["msg8"])
-            dmsg8 = dmsg8 + _mm0(w["wheads"], dpre_heads8)
+            if "dw" not in abl:
+                dw["ba1"] += rowsum(datt_pre8)
+                dw["wad"] += rowsum(datt_pre8 * (-r_["d28"]))
+                dw["waq"] += rowsum(datt_pre8 * jnp.square(r_["qdot8"]))
+                dw["wheads"] += _mmL(dpre_heads8, r_["msg8"])
+            dmsg8 = dmsg8 + (dpre_heads8[0:w["wm2"].shape[0]]
+                             if "headmm" in abl
+                             else _mm0(w["wheads"], dpre_heads8))
             dd28 = -jnp.sum(w["wad"] * datt_pre8, axis=0, keepdims=True)
             dqdot8 = 2.0 * r_["qdot8"] * jnp.sum(
                 w["waq"] * datt_pre8, axis=0, keepdims=True)
@@ -761,25 +792,30 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dqj_cm = dqj_cm + lane_to_cm(dqdot8 * q_i8)
 
             # ---- message MLP --------------------------------------------
-            dhid_m8 = _mm0(w["wm2"], dmsg8)
-            dpre8 = jnp.where(r_["pre8"] > 0.0, dhid_m8, 0.0)
-            dw["wm2"] += _mmL(dmsg8, r_["hid_m8"])
-            dw["bm2"] += rowsum(dmsg8)
-            dai = dai + _tree_lane(dpre8, BNB, add)
+            if "msgbwd" in abl:  # timing ablation: wrong grads
+                dpre8 = dmsg8
+            else:
+                dhid_m8 = _mm0(w["wm2"], dmsg8)
+                dpre8 = jnp.where(r_["pre8"] > 0.0, dhid_m8, 0.0)
+                dai = dai + _tree_lane(dpre8, BNB, add)
+            if "dw" not in abl:
+                dw["wm2"] += _mmL(dmsg8, r_["hid_m8"])
+                dw["bm2"] += rowsum(dmsg8)
 
             # ---- neighbour-side outputs --------------------------------
-            dqj_coll = collapse(dqj_cm)                   # [32, Bp]
-            for j in range(G8):
-                sl_ = slice(j * BNB, (j + 1) * BNB)
-                np_i = g * G8 + j
-                daj_ref[np_i] = daj_ref[np_i] + collapse(dpre8[:, sl_])
-                dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj8[:, sl_])
-                dqj_ref[np_i] = dqj_ref[np_i] + _mm(p_sel[j], dqj_coll)
-                if batch_grid:
-                    dedge_ref[np_i] = dedge_ref[np_i] \
-                        + _mmL(s_mat, dpre8[:, sl_])
-                else:
-                    dedge_ref[np_i] = _mmL(s_mat, dpre8[:, sl_])
+            if "nbr" not in abl:
+                dqj_coll = collapse(dqj_cm)               # [32, Bp]
+                for j in range(G8):
+                    sl_ = slice(j * BNB, (j + 1) * BNB)
+                    np_i = g * G8 + j
+                    daj_ref[np_i] = daj_ref[np_i] + collapse(dpre8[:, sl_])
+                    dtj_ref[np_i] = dtj_ref[np_i] + collapse(dtj8[:, sl_])
+                    dqj_ref[np_i] = dqj_ref[np_i] + _mm(p_sel[j], dqj_coll)
+                    if batch_grid:
+                        dedge_ref[np_i] = dedge_ref[np_i] \
+                            + _mmL(s_mat, dpre8[:, sl_])
+                    else:
+                        dedge_ref[np_i] = _mmL(s_mat, dpre8[:, sl_])
 
             return (dai, dtor_node, dqi, dti, dw)
 
