@@ -106,9 +106,18 @@ def main():
                     v = loss(p, frames, torsions, hh + carry, edge, mask,
                              pkh, pkf, pkm)
                 else:
-                    v, _g = jax.value_and_grad(loss)(
+                    # grads wrt params AND the inter-layer inputs
+                    # (frames/torsions/h), matching what the 2-layer train
+                    # step backprops through layer 2; every grad leaf is
+                    # folded into the carry so NOTHING is dead-code
+                    # eliminated (an unused _g lets XLA drop the whole
+                    # backward — fwdonly would equal full).
+                    v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
                         p, frames, torsions, hh + carry, edge, mask,
                         pkh, pkf, pkm)
+                    v = v + jax.tree_util.tree_reduce(
+                        lambda a, x: a + jnp.sum(x) * 1e-20, g,
+                        jnp.float32(0.0))
                 return v * 1e-9, None
 
             out, _ = jax.lax.scan(body, jnp.float32(0.0), None,
