@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--data-dir", default="/tmp/quality_long_data",
                     help="realistic HDF5s are cached here across runs")
     ap.add_argument("--arms", default="f32:pallas_lane,bf16:g8")
+    ap.add_argument("--untrained-anchor", action="store_true",
+                    help="also evaluate heldout/RMSD at the INIT params")
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args(argv)
 
@@ -157,9 +159,27 @@ def main(argv=None):
     K = 100  # steps per fused dispatch
     assert args.steps % K == 0
 
+    if args.untrained_anchor:
+        # "noise level" anchor: heldout loss + sampled RMSD of the INIT
+        # params — any trained arm should beat this decisively
+        mc0 = ScoreNetworkConfig(noise_step_count=args.T, backend="xla")
+        p0 = init_score_network(jax.random.key(args.seed), mc0)
+        rmsd0 = sampled_rmsd(p0)
+        results["untrained"] = {
+            "heldout": {kk: round(vv, 6)
+                        for kk, vv in heldout_mean(p0, n_draws=8).items()},
+            "sampled_rmsd_mean": round(float(rmsd0.mean()), 4),
+            "sampled_rmsd_std": round(float(rmsd0.std()), 4),
+        }
+        print(json.dumps({"untrained": results["untrained"]}), flush=True)
+
     for spec in args.arms.split(","):
         prec_name, backend = spec.split(":")
-        precision = None if prec_name == "bf16" else DEFAULT_PRECISION
+        # f32 = parity default (HIGHEST); f32x3 = --fast-f32
+        # (lax.Precision.HIGH / in-kernel 3-pass); bf16 = --bf16
+        precision = (None if prec_name == "bf16"
+                     else jax.lax.Precision.HIGH if prec_name == "f32x3"
+                     else DEFAULT_PRECISION)
         mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
         params = init_score_network(jax.random.key(args.seed), mc)
         opt = optax.adam(args.lr)
@@ -174,13 +194,20 @@ def main(argv=None):
             p, o, k, sums = scan(p, o, dataset.arrays, idx, k)
             curve.append(float(np.asarray(sums["total loss"]).mean()) / B)
         train_secs = time.perf_counter() - t0
-        held = heldout_mean(p)
-        rmsd = sampled_rmsd(p)
+        nan_window = next((i * K for i, c in enumerate(curve)
+                           if not np.isfinite(c)), None)
+        if nan_window is None:
+            held = heldout_mean(p)
+            rmsd = sampled_rmsd(p)
+        else:  # diverged: skip the (meaningless) eval/sampling passes
+            held = {"total loss": float("nan")}
+            rmsd = np.full(1, np.nan)
         results["arms"][spec] = {
             "train_seconds": round(train_secs, 1),
             "train_steps_per_sec": round(args.steps / train_secs, 1),
             "loss_curve_per100": [round(c, 5) for c in curve],
             "final_train_loss": round(curve[-1], 5),
+            "nan_onset_step": nan_window,
             "heldout": {kk: round(vv, 6) for kk, vv in held.items()},
             "sampled_rmsd_mean": round(float(rmsd.mean()), 4),
             "sampled_rmsd_std": round(float(rmsd.std()), 4),
