@@ -68,6 +68,12 @@ def build_parser() -> ArgumentParser:
                         "xla backend), Pallas kernels emulate it with bf16 "
                         "hi/lo split dots (~1.5e-5 rel err)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip-grad-norm", type=float, default=None,
+                   help="opt-in global-norm gradient clipping (off by "
+                        "default, matching the reference, whose only "
+                        "guard is the NaN-loss abort; the measured "
+                        "dynamics spike >100x and can diverge on long "
+                        "horizons — see docs/parity.md)")
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "
                         "(deviates from the reference quirk)")
@@ -150,7 +156,8 @@ def main(argv=None) -> None:
         noise_step_count=args.T, t_per_batch=not args.per_sample_t
     )
     train_config = TrainConfig(
-        learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed
+        learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed,
+        grad_clip_norm=args.clip_grad_norm
     )
 
     # --mesh-model / --mesh-context without --mesh-data: the data axis

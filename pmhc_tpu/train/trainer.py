@@ -47,6 +47,14 @@ class TrainConfig:
     checkpoint_every_batches: int = 100  # reference optimize.py:75
     nan_check_every: int = 100
     seed: int = 0
+    # Opt-in global-norm gradient clipping (None = off, matching the
+    # reference, which has NO clipping and simply aborts on NaN loss,
+    # ``optimizer.py:217-218``). The measured dynamics genuinely spike
+    # (per-batch grad-norm excursions >100x; the 10k-step quality study
+    # recorded one f32 arm diverging to NaN near step 2800 while
+    # sibling seeds/backends trained cleanly), so a bound is offered as
+    # a deliberate, documented extension — see docs/parity.md.
+    grad_clip_norm: float | None = None
 
 
 MODEL_BATCH_KEYS = (
@@ -416,7 +424,14 @@ class Trainer:
             from pmhc_tpu.models import init_score_network
 
             params = init_score_network(init_key, model_config)
-        self.optimizer = optax.adam(train_config.learning_rate)
+        adam = optax.adam(train_config.learning_rate)
+        self.optimizer = (
+            optax.chain(
+                optax.clip_by_global_norm(train_config.grad_clip_norm), adam
+            )
+            if train_config.grad_clip_norm
+            else adam
+        )
         self.params = params
         if mesh is not None and tensor_parallel:
             # commit params to the Megatron column/row layout on the

@@ -37,6 +37,37 @@ def test_train_step_runs_and_metrics_accumulate(batch):
     assert not metrics.has_nan()
 
 
+def test_grad_clip_norm_bounds_update(batch):
+    """Opt-in clipping (TrainConfig.grad_clip_norm) bounds the Adam
+    moment build-up: with an aggressive clip the first-step update is
+    identical in DIRECTION but the clipped gradients must differ from
+    the unclipped ones wherever the global norm exceeds the bound."""
+    unclipped = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=3))
+    clipped = Trainer(
+        MODEL_CONFIG, DIFF_CONFIG,
+        TrainConfig(seed=3, grad_clip_norm=1e-3),
+    )
+    lu = float(unclipped.train_batch(batch)["total loss"])
+    lc = float(clipped.train_batch(batch)["total loss"])
+    # same params/key/batch -> identical forward loss
+    assert lu == pytest.approx(lc, rel=1e-6)
+    # the clipped Adam second moments are tiny vs unclipped (clip fired)
+    import jax.tree_util as jtu
+
+    def maxleaf(tree):
+        return max(float(jnp.max(jnp.abs(x))) for x in jtu.tree_leaves(tree))
+
+    # locate the adam ScaleByAdamState in each chain (clipped wraps it)
+    def adam_nu(opt_state):
+        for s in jtu.tree_leaves(opt_state, is_leaf=lambda x: hasattr(x, "nu")):
+            if hasattr(s, "nu"):
+                return s.nu
+        raise AssertionError("no adam state found")
+
+    assert maxleaf(adam_nu(clipped.opt_state)) < maxleaf(
+        adam_nu(unclipped.opt_state)) * 1e-2
+
+
 def test_loss_decreases_on_fixed_batch(batch):
     trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=2, learning_rate=3e-3))
     first = float(trainer.train_batch(batch)["total loss"])

@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--data-dir", default="/tmp/quality_long_data",
                     help="realistic HDF5s are cached here across runs")
     ap.add_argument("--arms", default="f32:pallas_lane,bf16:g8")
+    ap.add_argument("--clip", type=float, default=None,
+                    help="apply optax.clip_by_global_norm to every arm "
+                         "(mirrors the CLI's opt-in --clip-grad-norm)")
     ap.add_argument("--untrained-anchor", action="store_true",
                     help="also evaluate heldout/RMSD at the INIT params")
     ap.add_argument("--out", default=None, help="also write the JSON here")
@@ -183,6 +186,9 @@ def main(argv=None):
         mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
         params = init_score_network(jax.random.key(args.seed), mc)
         opt = optax.adam(args.lr)
+        if args.clip:
+            opt = optax.chain(
+                optax.clip_by_global_norm(args.clip), optax.adam(args.lr))
         opt_state = opt.init(params)
         key = jax.random.key(args.seed + 1)
         scan = make_train_scan_device(mc, dc, opt, precision=precision)
