@@ -68,6 +68,15 @@ def build_parser() -> ArgumentParser:
                         "xla backend), Pallas kernels emulate it with bf16 "
                         "hi/lo split dots (~1.5e-5 rel err)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--restart-on-nan", type=int, default=0,
+                   help="elastic NaN recovery: instead of the reference's "
+                        "hard abort, restore the last checkpoint (Orbax "
+                        "full state if --orbax-dir, else the .pth params), "
+                        "re-fold the RNG key onto a fresh noise trajectory "
+                        "and continue — at most this many times (0 = "
+                        "reference abort behavior). Motivated by the "
+                        "measured ~1/3 per-seed divergence rate of the "
+                        "reference recipe (docs/parity.md)")
     p.add_argument("--clip-grad-norm", type=float, default=None,
                    help="opt-in global-norm gradient clipping (off by "
                         "default, matching the reference, whose only "
@@ -235,6 +244,40 @@ def main(argv=None) -> None:
     metrics_path = args.output_model.replace(".pth", ".csv")
     K = max(1, args.steps_per_dispatch)
 
+    nan_state = {"retries": 0}
+
+    def check_nan(metrics):
+        """NaN guard. Reference behavior (default) is the hard abort
+        (``optimizer.py:217-218``). With --restart-on-nan N, restore
+        the last checkpoint, re-fold the RNG key onto a fresh noise
+        trajectory, and hand back a clean metrics record — up to N
+        times."""
+        if not metrics.has_nan():
+            return metrics
+        if nan_state["retries"] >= args.restart_on_nan:
+            raise RuntimeError("NaN loss")
+        nan_state["retries"] += 1
+        if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+            trainer.params, trainer.opt_state, trainer.key, step = (
+                ckpt_mgr.restore(trainer.params, trainer.opt_state))
+            trainer.global_step = step
+            src = f"orbax step {step}"
+        elif os.path.isfile(args.output_model):
+            trainer.params = import_torch_checkpoint(args.output_model)
+            trainer.opt_state = trainer.optimizer.init(trainer.params)
+            src = f"{args.output_model} (params only; Adam moments reset)"
+        else:
+            raise RuntimeError("NaN loss (no checkpoint to restart from)")
+        # a fresh noise trajectory: replaying the saved key over the
+        # same upcoming batches could diverge identically
+        trainer.key = jax.random.fold_in(trainer.key,
+                                         7919 + nan_state["retries"])
+        _log.warning(
+            "NaN loss: restored %s, re-folded RNG (retry %d/%d); "
+            "epoch CSV means now cover post-restart batches only",
+            src, nan_state["retries"], args.restart_on_nan)
+        return MetricsRecord()
+
     if args.device_data and K > 1 and mesh is None:
         # fully fused device pipeline: the scan body gathers each batch
         # from the resident dataset, so K steps + K gathers = ONE
@@ -263,19 +306,18 @@ def main(argv=None) -> None:
                     dataset.arrays, idx_full[start:start + K], metrics)
                 done += K
                 if done % 100 < K and done >= 100:
-                    if metrics.has_nan():
-                        raise RuntimeError("NaN loss")
+                    metrics = check_nan(metrics)
                     save_model()
             for row in idx_full[nk:]:  # leftover batches, one at a time
                 trainer.train_batch(dataset.get_batch(list(row)), metrics)
             if nfull * B < n:  # partial final batch
                 trainer.train_batch(dataset.get_batch(
                     list(perm[nfull * B:])), metrics)
-            if metrics.has_nan():
-                raise RuntimeError("NaN loss")
+            metrics = check_nan(metrics)
             save_model()
-            metrics.save(metrics_path, epoch_index)
-            _log.info("epoch %d: %s", epoch_index, metrics.mean())
+            if len(metrics):  # empty after an epoch-end NaN recovery
+                metrics.save(metrics_path, epoch_index)
+                _log.info("epoch %d: %s", epoch_index, metrics.mean())
         if ckpt_mgr is not None:
             ckpt_mgr.wait()
         return
@@ -293,16 +335,15 @@ def main(argv=None) -> None:
             else:
                 trainer.train_batch(batch, metrics)
             if i > 0 and i % 100 == 0:
-                if metrics.has_nan():  # reference aborts on NaN (optimizer.py:217)
-                    raise RuntimeError("NaN loss")
+                metrics = check_nan(metrics)  # abort or recover
                 save_model()
         for batch in pending:  # leftover batches (< K) run one at a time
             trainer.train_batch(batch, metrics)
-        if metrics.has_nan():
-            raise RuntimeError("NaN loss")
+        metrics = check_nan(metrics)
         save_model()
-        metrics.save(metrics_path, epoch_index)
-        _log.info("epoch %d: %s", epoch_index, metrics.mean())
+        if len(metrics):  # empty after an epoch-end NaN recovery
+            metrics.save(metrics_path, epoch_index)
+            _log.info("epoch %d: %s", epoch_index, metrics.mean())
     if ckpt_mgr is not None:
         ckpt_mgr.wait()
 

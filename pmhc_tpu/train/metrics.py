@@ -71,6 +71,10 @@ class MetricsRecord:
                 w.writerow(["epoch"] + keys)
             w.writerow([epoch_number] + [round(means[k], 3) for k in keys])
 
+    def __len__(self) -> int:
+        """Number of examples accumulated (0 = nothing to save)."""
+        return self._size
+
     def has_nan(self) -> bool:
         """Host-side NaN check over everything accumulated so far (used by
         the trainer's periodic NaN guard, replacing the reference's

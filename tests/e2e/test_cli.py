@@ -258,3 +258,35 @@ def test_train_cli_dp_tp_cp_mesh(data_dir, tmp_path):
         "--mesh-model", "2", "--mesh-context", "2",
     ])
     assert os.path.isfile(model_path)
+
+
+def test_train_cli_restart_on_nan(data_dir, tmp_path, caplog):
+    """Elastic NaN recovery (--restart-on-nan): an absurd lr drives the
+    params to NaN within an epoch; the default (reference) behavior is
+    the hard abort, while a recovery budget restores the last .pth,
+    re-folds the RNG key, and finishes the run."""
+    import logging
+
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_nan.pth")
+    # seed a valid checkpoint to restart from
+    main([
+        str(data_dir / "train.hdf5"), "1", model_path,
+        "-T", "8", "--batch-size", "3",
+    ])
+    # reference behavior: abort (optimizer.py:217-218)
+    with pytest.raises(RuntimeError, match="NaN loss"):
+        main([
+            str(data_dir / "train.hdf5"), "1", model_path,
+            "-T", "8", "--batch-size", "3", "--lr", "1e18",
+        ])
+    # recovery budget: the same blowup restores + continues to completion
+    with caplog.at_level(logging.WARNING):
+        main([
+            str(data_dir / "train.hdf5"), "2", model_path,
+            "-T", "8", "--batch-size", "3", "--lr", "1e18",
+            "--restart-on-nan", "4",
+        ])
+    assert any("re-folded RNG" in r.message for r in caplog.records)
+    assert os.path.isfile(model_path)
