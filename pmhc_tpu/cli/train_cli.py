@@ -97,10 +97,12 @@ def build_parser() -> ArgumentParser:
                         "picks the fastest measured config: on TPU the "
                         "fused Pallas kernels with hand-written "
                         "backwards (g8 with --bf16 at 1036 steps/s, "
-                        "pallas_lane at f32 at 261 steps/s; per-step "
-                        "gradient parity with xla is tested to <=2e-4 "
-                        "and 500-step held-out quality is neutral), "
-                        "elsewhere xla. pallas trains via Pallas "
+                        "pallas_lane at f32 at 261 / 364 with "
+                        "--fast-f32; per-step gradient parity with xla "
+                        "is tested to <=2e-4 and 10k-step converged "
+                        "quality is backend-indistinguishable — "
+                        "docs/parity.md), elsewhere xla. pallas trains "
+                        "via Pallas "
                         "forward + XLA-remat backward; blockwise streams "
                         "neighbour blocks with an online softmax; cp/ring "
                         "shard the neighbour axis over --mesh-context "
