@@ -360,6 +360,15 @@ def _measure_child(queue):
             result["bf16"] = None
         queue.put(dict(result))
         try:
+            # --fast-f32 (in-kernel 3-pass f32): the recommended
+            # f32-grade throughput mode (quality-equivalent in the
+            # 26-run study, docs/parity.md)
+            result["fast_f32"] = (bench_ours("f32x3")
+                                  if PRECISION == "f32" else None)
+        except Exception:
+            result["fast_f32"] = None
+        queue.put(dict(result))
+        try:
             # loader-inclusive throughput (fused device pipeline)
             result["end_to_end"] = bench_end_to_end()
         except Exception:
@@ -415,6 +424,12 @@ def main():
                 "metric": "train_steps_per_sec_bf16",
                 "value": round(result["bf16"], 3),
                 "unit": "steps/s (--bf16 MXU precision, batch 64)",
+            }))
+        if result.get("fast_f32") is not None:
+            print(json.dumps({
+                "metric": "train_steps_per_sec_fast_f32",
+                "value": round(result["fast_f32"], 3),
+                "unit": "steps/s (--fast-f32 in-kernel 3-pass f32, batch 64)",
             }))
         if result.get("end_to_end") is not None:
             print(json.dumps({
