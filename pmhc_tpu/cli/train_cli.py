@@ -68,6 +68,12 @@ def build_parser() -> ArgumentParser:
                         "xla backend), Pallas kernels emulate it with bf16 "
                         "hi/lo split dots (~1.5e-5 rel err)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="opt-in EMA of the parameters (standard diffusion "
+                        "practice, e.g. 0.999; the reference saves raw "
+                        "weights only). The averaged weights are exported "
+                        "alongside every checkpoint as <model>.ema.pth — "
+                        "pass THAT file to the sampling CLI")
     p.add_argument("--restart-on-nan", type=int, default=0,
                    help="elastic NaN recovery: instead of the reference's "
                         "hard abort, restore the last checkpoint (Orbax "
@@ -168,7 +174,7 @@ def main(argv=None) -> None:
     )
     train_config = TrainConfig(
         learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed,
-        grad_clip_norm=args.clip_grad_norm
+        grad_clip_norm=args.clip_grad_norm, ema_decay=args.ema_decay
     )
 
     # --mesh-model / --mesh-context without --mesh-data: the data axis
@@ -239,7 +245,13 @@ def main(argv=None) -> None:
 
     def save_model():
         export_torch_checkpoint(trainer.params, args.output_model)
+        if args.ema_decay:
+            export_torch_checkpoint(
+                trainer.ema_params,
+                args.output_model.replace(".pth", ".ema.pth"))
         if ckpt_mgr is not None:
+            # the EMA rides inside opt_state, so it checkpoints/restores
+            # with the Adam moments automatically
             ckpt_mgr.save(trainer.global_step, trainer.params, trainer.opt_state, trainer.key)
         _log.debug("saved %s", args.output_model)
 

@@ -55,6 +55,11 @@ class TrainConfig:
     # sibling seeds/backends trained cleanly), so a bound is offered as
     # a deliberate, documented extension — see docs/parity.md.
     grad_clip_norm: float | None = None
+    # Opt-in EMA of the parameters (None = off, matching the reference).
+    # Standard diffusion practice (sample from the averaged weights,
+    # decay ~0.999); maintained inside the optimizer state
+    # (train/ema.py) so it flows through every trainer path and Orbax.
+    ema_decay: float | None = None
 
 
 MODEL_BATCH_KEYS = (
@@ -424,14 +429,15 @@ class Trainer:
             from pmhc_tpu.models import init_score_network
 
             params = init_score_network(init_key, model_config)
-        adam = optax.adam(train_config.learning_rate)
-        self.optimizer = (
-            optax.chain(
-                optax.clip_by_global_norm(train_config.grad_clip_norm), adam
-            )
-            if train_config.grad_clip_norm
-            else adam
-        )
+        parts = [optax.adam(train_config.learning_rate)]
+        if train_config.grad_clip_norm:
+            parts.insert(0, optax.clip_by_global_norm(
+                train_config.grad_clip_norm))
+        if train_config.ema_decay:
+            from pmhc_tpu.train.ema import ema_of_params
+
+            parts.append(ema_of_params(train_config.ema_decay))
+        self.optimizer = parts[0] if len(parts) == 1 else optax.chain(*parts)
         self.params = params
         if mesh is not None and tensor_parallel:
             # commit params to the Megatron column/row layout on the
@@ -463,6 +469,14 @@ class Trainer:
         self._device_scan_step = None
         self._precision = precision
         self.global_step = 0
+
+    @property
+    def ema_params(self):
+        """EMA of the parameters (None unless TrainConfig.ema_decay is
+        set); lives inside opt_state, see train/ema.py."""
+        from pmhc_tpu.train.ema import extract_ema_params
+
+        return extract_ema_params(self.opt_state)
 
     def train_batch(self, batch: Dict[str, Any], metrics=None):
         """One optimization step on a loader batch (tensor-7 frames)."""

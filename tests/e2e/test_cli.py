@@ -290,3 +290,30 @@ def test_train_cli_restart_on_nan(data_dir, tmp_path, caplog):
         ])
     assert any("re-folded RNG" in r.message for r in caplog.records)
     assert os.path.isfile(model_path)
+
+
+def test_train_cli_ema(data_dir, tmp_path):
+    """--ema-decay exports the averaged weights as <model>.ema.pth
+    alongside every checkpoint; the sampling CLI consumes that file."""
+    import torch
+
+    from pmhc_tpu.cli.sample_cli import main as sample_main
+    from pmhc_tpu.cli.train_cli import main as train_main
+
+    model_path = str(tmp_path / "model_ema.pth")
+    train_main([
+        str(data_dir / "train.hdf5"), "2", model_path,
+        "-T", "8", "--batch-size", "3", "--ema-decay", "0.9",
+    ])
+    ema_path = model_path.replace(".pth", ".ema.pth")
+    assert os.path.isfile(ema_path)
+    raw = torch.load(model_path, map_location="cpu")
+    ema = torch.load(ema_path, map_location="cpu")
+    assert set(raw) == set(ema)
+    assert max(float((raw[k] - ema[k]).abs().max()) for k in raw) > 1e-6
+
+    sample_main([
+        ema_path, str(data_dir / "test.hdf5"), "-T", "4", "--batch-size", "2",
+    ])
+    out_dir = str(data_dir / "test-sampled")
+    assert any(f.endswith(".pdb") for f in os.listdir(out_dir))

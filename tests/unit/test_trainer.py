@@ -68,6 +68,37 @@ def test_grad_clip_norm_bounds_update(batch):
         adam_nu(unclipped.opt_state)) * 1e-2
 
 
+def test_ema_params_track_with_decay(batch):
+    """TrainConfig.ema_decay maintains ema = d*ema + (1-d)*params inside
+    the optimizer state (train/ema.py); verified against a manual
+    recomputation over 3 steps."""
+    import jax.tree_util as jtu
+
+    trainer = Trainer(
+        MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=5, ema_decay=0.5))
+    host = lambda tree: jtu.tree_map(np.asarray, tree)  # params buffers
+    manual = host(trainer.params)  # are donated into the next step
+    history = []
+    for _ in range(3):
+        trainer.train_batch(batch)
+        history.append(host(trainer.params))
+    for p in history:
+        manual = jtu.tree_map(lambda e, q: 0.5 * e + 0.5 * q, manual, p)
+    got = trainer.ema_params
+    assert got is not None
+    for a, b in zip(jtu.tree_leaves(got), jtu.tree_leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # ema differs from the raw params (it lags)
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jtu.tree_leaves(got), jtu.tree_leaves(trainer.params))
+    ]
+    assert max(diffs) > 1e-5
+
+    # no-ema trainer exposes None
+    assert Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=5)).ema_params is None
+
+
 def test_loss_decreases_on_fixed_batch(batch):
     trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, TrainConfig(seed=2, learning_rate=3e-3))
     first = float(trainer.train_batch(batch)["total loss"])
