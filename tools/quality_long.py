@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--clip", type=float, default=None,
                     help="apply optax.clip_by_global_norm to every arm "
                          "(mirrors the CLI's opt-in --clip-grad-norm)")
+    ap.add_argument("--ema", type=float, default=None,
+                    help="also track an EMA of the params (train/ema.py) "
+                         "and evaluate heldout/RMSD for BOTH weight sets")
     ap.add_argument("--untrained-anchor", action="store_true",
                     help="also evaluate heldout/RMSD at the INIT params")
     ap.add_argument("--out", default=None, help="also write the JSON here")
@@ -185,10 +188,14 @@ def main(argv=None):
                      else DEFAULT_PRECISION)
         mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
         params = init_score_network(jax.random.key(args.seed), mc)
-        opt = optax.adam(args.lr)
+        parts = [optax.adam(args.lr)]
         if args.clip:
-            opt = optax.chain(
-                optax.clip_by_global_norm(args.clip), optax.adam(args.lr))
+            parts.insert(0, optax.clip_by_global_norm(args.clip))
+        if args.ema:
+            from pmhc_tpu.train.ema import ema_of_params
+
+            parts.append(ema_of_params(args.ema))
+        opt = parts[0] if len(parts) == 1 else optax.chain(*parts)
         opt_state = opt.init(params)
         key = jax.random.key(args.seed + 1)
         scan = make_train_scan_device(mc, dc, opt, precision=precision)
@@ -202,9 +209,22 @@ def main(argv=None):
         train_secs = time.perf_counter() - t0
         nan_window = next((i * K for i, c in enumerate(curve)
                            if not np.isfinite(c)), None)
+        ema_row = {}
         if nan_window is None:
             held = heldout_mean(p)
             rmsd = sampled_rmsd(p)
+            if args.ema:
+                from pmhc_tpu.train.ema import extract_ema_params
+
+                pe = extract_ema_params(o)
+                held_e = heldout_mean(pe, n_draws=8)
+                rmsd_e = sampled_rmsd(pe)
+                ema_row = {
+                    "ema_decay": args.ema,
+                    "ema_heldout_total": round(held_e["total loss"], 6),
+                    "ema_sampled_rmsd_mean": round(float(rmsd_e.mean()), 4),
+                    "ema_sampled_rmsd_std": round(float(rmsd_e.std()), 4),
+                }
         else:  # diverged: skip the (meaningless) eval/sampling passes
             held = {"total loss": float("nan")}
             rmsd = np.full(1, np.nan)
@@ -217,6 +237,7 @@ def main(argv=None):
             "heldout": {kk: round(vv, 6) for kk, vv in held.items()},
             "sampled_rmsd_mean": round(float(rmsd.mean()), 4),
             "sampled_rmsd_std": round(float(rmsd.std()), 4),
+            **ema_row,
         }
         print(json.dumps({spec: results["arms"][spec]["heldout"],
                           "rmsd": results["arms"][spec]["sampled_rmsd_mean"]}),
