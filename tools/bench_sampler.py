@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--backends", default="xla,lane_scan,g8_scan")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MXU matmuls for the MLPs (geometry stays f32)")
+    ap.add_argument("--fast-f32", action="store_true",
+                    help="3-pass f32 matmuls (lax HIGH in XLA stages; "
+                         "bf16 hi/lo split dots inside the kernels) "
+                         "instead of the parity-exact ~6-pass HIGHEST")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -55,7 +59,11 @@ def main():
         params = init_score_network(jax.random.key(0), mc)
         from pmhc_tpu.models.nn import DEFAULT_PRECISION
 
-        prec = None if args.bf16 else DEFAULT_PRECISION
+        from jax import lax
+
+        prec = (None if args.bf16
+                else lax.Precision.HIGH if args.fast_f32
+                else DEFAULT_PRECISION)
         if backend in ("lane_scan", "g8_scan"):
             from pmhc_tpu.diffusion.sampler_lane import sample_lane
 
