@@ -44,11 +44,11 @@ from pmhc_tpu.ops.egnn_pallas_lane import (
     egnn_lane_core,
     lane_edge3,
     lane_geometry,
-    lane_msg_mask,
+    lane_msg_mask_bg,
     lane_s_mat,
-    lane_to_node,
-    nbr_to_lane,
-    node_to_lane,
+    lane_to_node_bg,
+    nbr_to_lane_bg,
+    node_to_lane_bg,
     pack_lane_weights,
 )
 from pmhc_tpu.ops.egnn_pallas_lane_g8 import egnn_lane8_core
@@ -238,19 +238,33 @@ def sample_lane(
     H2 = model_config.inner_size                 # 64
     inv_T = 1.0 / model_config.noise_step_count
 
-    k, Bp = lane_geometry(B, N, model_config.lane_block)
-    L = N * Bp
+    # g8 at B > 256: batch-grid — the kernel grid tiles 2048-lane batch
+    # chunks (k == N query rows x Cb entries) instead of one huge cell
+    # whose [4T, 8*k*Bp] group tiles would exhaust VMEM; all lane state
+    # lives in the chunk-major *_bg layouts (identical to the plain
+    # layouts when nch == 1)
+    batch_grid = g8 and B > 256 and N * (2048 // N) == 2048
+    if batch_grid:
+        k, Bp = N, 2048 // N
+        nch = -(-B // Bp)
+    else:
+        k, Bp = lane_geometry(B, N, model_config.lane_block)
+        nch = 1
+    L = nch * N * Bp
+    n2l = lambda x: node_to_lane_bg(x, Bp, nch)
+    l2n = lambda x: lane_to_node_bg(x, B, Bp, nch)
+    r2l = lambda x: nbr_to_lane_bg(x, Bp, nch)
 
     # ---- static context, transposed once ------------------------------
     w1 = pack_lane_weights(params["gnn1"], H1)
     w2 = pack_lane_weights(params["gnn2"], H2)
     edge3_1 = lane_edge3(relpos_edge_pre(params["gnn1"], N), P)
     edge3_2 = lane_edge3(relpos_edge_pre(params["gnn2"], N), P)
-    mask_t = lane_msg_mask(mask, batch["pocket_mask"], Bp)
+    mask_t = lane_msg_mask_bg(mask, batch["pocket_mask"], Bp, nch)
     s_mat = lane_s_mat(k, Bp)
 
     feats22 = jnp.asarray(batch["features"], F32)         # [B, N, 22]
-    feat_lane = node_to_lane(feats22, Bp)                  # [22, L]
+    feat_lane = n2l(feats22)                               # [22, L]
     pocket_h = jnp.concatenate(
         (
             jnp.asarray(batch["pocket_features"], F32),
@@ -263,31 +277,34 @@ def sample_lane(
     def nbr_proj(h_nbr, layer_params, H):
         """Static neighbour pre-activation h @ W1[H:2H] -> [*, T, Bp]."""
         wj = jnp.asarray(layer_params["message"]["lin1"]["w"], F32)[H:2 * H]
-        return nbr_to_lane(
-            jnp.einsum("bph,ht->bpt", h_nbr, wj, precision=xla_prec), Bp
+        return r2l(
+            jnp.einsum("bph,ht->bpt", h_nbr, wj, precision=xla_prec)
         )
 
     # layer 1 peptide neighbour term: static 22-dim part + time row
     w1m = jnp.asarray(params["gnn1"]["message"]["lin1"]["w"], F32)
     wj1 = w1m[H1:2 * H1]                                   # [23, T]
-    aj1_pep_static = nbr_to_lane(
-        jnp.einsum("bnh,ht->bnt", feats22, wj1[:22], precision=xla_prec), Bp
-    )                                                      # [N, T, Bp]
+    aj1_pep_static = r2l(
+        jnp.einsum("bnh,ht->bnt", feats22, wj1[:22], precision=xla_prec)
+    )                                                      # [N, T, nch*Bp]
     wj1_time = wj1[22].reshape(1, -1, 1)                   # [1, T, 1]
     aj1_pocket = nbr_proj(pocket_h, params["gnn1"], H1)    # [P, T, Bp]
     aj2_pocket = nbr_proj(pocket_inner, params["gnn2"], H2)
 
-    q_pk = nbr_to_lane(batch["pocket_frames"].quats, Bp)   # [P, 4, Bp]
-    t_pk = nbr_to_lane(batch["pocket_frames"].trans, Bp)   # [P, 3, Bp]
+    q_pk = r2l(batch["pocket_frames"].quats)          # [P, 4, nch*Bp]
+    t_pk = r2l(batch["pocket_frames"].trans)          # [P, 3, nch*Bp]
 
     w2m = jnp.asarray(params["gnn2"]["message"]["lin1"]["w"], F32)
     wj2_t = w2m[H2:2 * H2].T                               # [T, 64]
     TR = wj2_t.shape[0]
 
     def carry_nbr(x):
-        """Carried lane state [C, N*Bp] -> resident neighbour [N, C, Bp]
-        (a sublane-dim reshuffle — no lane movement)."""
-        return jnp.transpose(x.reshape(-1, N, Bp), (1, 0, 2))
+        """Carried lane state [C, nch*N*Bp] -> resident neighbour
+        [N, C, nch*Bp] (chunk-major; a sublane-dim reshuffle at
+        nch == 1 — no lane movement)."""
+        C = x.shape[0]
+        y = x.reshape(C, nch, N, Bp)
+        return jnp.transpose(y, (2, 0, 1, 3)).reshape(N, C, nch * Bp)
 
     def interleave(s, c):
         """sin [7, L] + cos [7, L] -> tors14 [14, L] (s0 c0 s1 c1 ...)."""
@@ -296,11 +313,11 @@ def sample_lane(
     tf_row = jnp.ones((1, L), F32)
 
     def nbr_cm_groups(qj):
-        """Neighbour resident [NP, 4, Bp] -> component-major groups
-        [NP/8, 32, Bp] (rows w0..w7 x0..x7 y0..y7 z0..z7)."""
-        NPl = qj.shape[0]
-        t_ = qj.reshape(NPl // 8, 8, 4, Bp)
-        return jnp.transpose(t_, (0, 2, 1, 3)).reshape(NPl // 8, 32, Bp)
+        """Neighbour resident [NP, 4, W] -> component-major groups
+        [NP/8, 32, W] (rows w0..w7 x0..x7 y0..y7 z0..z7; W = nch*Bp)."""
+        NPl, _, W = qj.shape
+        t_ = qj.reshape(NPl // 8, 8, 4, W)
+        return jnp.transpose(t_, (0, 2, 1, 3)).reshape(NPl // 8, 32, W)
 
     def layer_core(wl, hl, q, t_lane, tors14, s_lane, c_lane,
                    ajl, qj, tj, edge3l, O):
@@ -309,6 +326,7 @@ def sample_lane(
                 wl, hl, q, t_lane, tors14, s_lane, c_lane,
                 ajl, qj, tj, nbr_cm_groups(qj), edge3l, mask_t, s_mat,
                 k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16, unroll=1,
+                batch_grid=batch_grid,
             )
         return egnn_lane_core(
             wl, hl, q, t_lane, tors14, s_lane, c_lane,
@@ -334,14 +352,14 @@ def sample_lane(
         )
 
         h2 = jnp.maximum(inner, 0.0)                        # [64, L]
-        # dynamic layer-2 neighbour projection: [T, L] -> [N, T, Bp]
+        # dynamic layer-2 neighbour projection: [T, L] -> [N, T, nch*Bp]
         aj2_pep = jnp.transpose(
             lax.dot_general(
                 wj2_t, h2, (((1,), (0,)), ((), ())),
                 preferred_element_type=F32, precision=xla_prec,
-            ).reshape(TR, N, Bp),
-            (1, 0, 2),
-        )
+            ).reshape(TR, nch, N, Bp),
+            (2, 0, 1, 3),
+        ).reshape(N, TR, nch * Bp)
         aj2 = jnp.concatenate((aj2_pep, aj2_pocket), axis=0)
         qj2 = jnp.concatenate((carry_nbr(q1), q_pk), axis=0)
         tj2 = jnp.concatenate((carry_nbr(t1), t_pk), axis=0)
@@ -360,19 +378,19 @@ def sample_lane(
             rand = _gen_noise_lane(jax.random.fold_in(key, t), L, config)
         else:
             rand = (
-                node_to_lane(inj["frames"].quats, Bp),
-                node_to_lane(inj["frames"].trans, Bp),
-                node_to_lane(inj["torsions"][..., 0], Bp),
-                node_to_lane(inj["torsions"][..., 1], Bp),
+                n2l(inj["frames"].quats),
+                n2l(inj["frames"].trans),
+                n2l(inj["torsions"][..., 0]),
+                n2l(inj["torsions"][..., 1]),
             )
         return _remove_noise_lane(carry, pred, rand, t, tables), None
 
     torsions0 = jnp.asarray(batch["torsions"], F32)
     init = (
-        node_to_lane(batch["frames"].quats, Bp),
-        node_to_lane(batch["frames"].trans, Bp),
-        node_to_lane(torsions0[..., 0], Bp),
-        node_to_lane(torsions0[..., 1], Bp),
+        n2l(batch["frames"].quats),
+        n2l(batch["frames"].trans),
+        n2l(torsions0[..., 0]),
+        n2l(torsions0[..., 1]),
     )
 
     ts = jnp.arange(T_steps, 0, -1)
@@ -387,10 +405,8 @@ def sample_lane(
     from pmhc_tpu.geometry import RigidArray
 
     result = dict(batch)
-    result["frames"] = RigidArray(
-        lane_to_node(q, B, Bp), lane_to_node(t_lane, B, Bp)
-    )
+    result["frames"] = RigidArray(l2n(q), l2n(t_lane))
     result["torsions"] = jnp.stack(
-        (lane_to_node(s_lane, B, Bp), lane_to_node(c_lane, B, Bp)), axis=-1
+        (l2n(s_lane), l2n(c_lane)), axis=-1
     )
     return result

@@ -345,6 +345,19 @@ def nbr_to_cm8(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
     return t.reshape(NP // G, C * G, Bp)
 
 
+def nbr_to_cm8_bg(x: jnp.ndarray, Cb: int, nch: int) -> jnp.ndarray:
+    """[B, NP, C] -> [NG, C*G, nch*Cb]: ``nbr_to_cm8`` per batch chunk,
+    chunk-major on the lane axis (block bc = lanes [bc*Cb, (bc+1)*Cb))."""
+    from pmhc_tpu.ops.egnn_pallas_lane import _chunk_stack
+
+    y = _chunk_stack(x, Cb, nch)                         # [nch, Cb, NP, C]
+    NP, C = y.shape[2], y.shape[3]
+    t = jnp.transpose(y, (2, 3, 0, 1))                   # [NP, C, nch, Cb]
+    t = t.reshape(NP // G, G, C, nch, Cb)
+    t = jnp.transpose(t, (0, 2, 1, 3, 4))                # [NG, C, G, nch, Cb]
+    return t.reshape(NP // G, C * G, nch * Cb)
+
+
 def egnn_lane8_core(
     weights: list,
     h, qi, ti, tors14, sin, cos,  # node-lane per-node [C, N*Bp]
@@ -357,21 +370,32 @@ def egnn_lane8_core(
     interpret: bool = False,
     bf16: bool = False,
     unroll: int = 1,
+    batch_grid: bool = False,
 ):
     """The geom8 pallas_call on already-transposed operands — the same
     operand set as ``egnn_lane_core`` plus the component-major neighbour
-    groups ``qjg_cm``. Returns node-lane outputs (q, t, sin, cos, feat)."""
+    groups ``qjg_cm``. Returns node-lane outputs (q, t, sin, cos, feat).
+
+    ``batch_grid``: grid cells are BATCH CHUNKS of Bp entries covering
+    all k == N query residues (operands in the chunk-major ``*_bg``
+    layouts, lane = bc*(N*Bp) + n*Bp + b). Each cell sees exactly the
+    per-cell shapes of the non-bg call, so the kernel is unchanged; the
+    lane/mask/output specs are also unchanged (block i IS chunk i when
+    k == N) — only the resident/qjg/edge index maps differ. This
+    replaces lax.map batch chunking so Mosaic pipelines chunk HBM
+    transfers against compute (same win as the vjp batch-grid)."""
     NP = aj3.shape[0]
     NG = NP // G
     T = weights[0].shape[0]
     H = h.shape[0]
     BNB = k * Bp
-    N = h.shape[-1] // Bp
-    grid = (N // k,)
+    N = h.shape[-1] // Bp        # batch_grid: nch * (real N), so the
+    grid = (N // k,)             # grid is (nch,) exactly when k == N
 
     lane = lambda c: pl.BlockSpec((c, BNB), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
-    res = lambda c, w: pl.BlockSpec((NP, c, w), lambda i: (0, 0, 0),
+    bidx = (lambda i: (0, 0, i)) if batch_grid else (lambda i: (0, 0, 0))
+    res = lambda c, w: pl.BlockSpec((NP, c, w), bidx,
                                     memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -380,9 +404,10 @@ def egnn_lane8_core(
         lane(H), lane(4), lane(3), lane(2 * N_TORSIONS),
         lane(N_TORSIONS), lane(N_TORSIONS),
         res(T, Bp), res(4, Bp), res(3, Bp),
-        pl.BlockSpec((NG, 4 * G, Bp), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((NP, k, T), lambda i: (0, i, 0),
+        pl.BlockSpec((NG, 4 * G, Bp), bidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NP, k, T),
+                     (lambda i: (0, 0, 0)) if batch_grid
+                     else (lambda i: (0, i, 0)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((NP, 1, BNB), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
@@ -441,10 +466,63 @@ def egnn_forward_pallas_lane_g8(
     O = params["feature"]["lin2"]["b"].shape[0]
 
     # the group-lane tiles are G times wider than the lane kernel's, so
-    # big batches must chunk to stay inside VMEM (heads8 at B=1024 would
-    # be [4T, 64k] = 67 MB f32); 256 keeps it at 16 MB
+    # big batches tile the kernel GRID over batch chunks (heads8 at
+    # B=1024 in one cell would be [4T, 64k] = 67 MB f32; per-chunk cells
+    # keep it at 16 MB and Mosaic pipelines chunk HBM transfers)
     CHUNK = 256
+    if B > CHUNK and N * (2048 // N) == 2048:
+        from pmhc_tpu.ops.egnn_pallas_lane import (
+            lane_msg_mask_bg, lane_to_node_bg, nbr_to_lane_bg,
+            node_to_lane_bg,
+        )
+
+        k, Cb = N, 2048 // N          # k == N query rows x Cb batch
+        nch = -(-B // Cb)
+
+        h_all = jnp.concatenate(
+            (peptide_features, pocket_features), axis=-2)
+        q_all = jnp.concatenate(
+            (peptide_frames.quats, pocket_frames.quats), axis=-2)
+        t_all = jnp.concatenate(
+            (peptide_frames.trans, pocket_frames.trans), axis=-2)
+        w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)
+        a_j = jnp.einsum(
+            "bph,ht->bpt", h_all, w1m[H:2 * H],
+            precision=lax.Precision.HIGHEST,
+        )
+        weights = pack_lane_weights(params, H)
+        tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
+        from pmhc_tpu.ops.egnn_pallas_lane import lane_edge3, lane_s_mat
+
+        out_q, out_t, out_sin, out_cos, out_feat = egnn_lane8_core(
+            weights,
+            node_to_lane_bg(peptide_features, Cb, nch),
+            node_to_lane_bg(peptide_frames.quats, Cb, nch),
+            node_to_lane_bg(peptide_frames.trans, Cb, nch),
+            node_to_lane_bg(tors_flat, Cb, nch),
+            node_to_lane_bg(peptide_torsions[..., 0], Cb, nch),
+            node_to_lane_bg(peptide_torsions[..., 1], Cb, nch),
+            nbr_to_lane_bg(a_j, Cb, nch),
+            nbr_to_lane_bg(q_all, Cb, nch),
+            nbr_to_lane_bg(t_all, Cb, nch),
+            nbr_to_cm8_bg(q_all, Cb, nch),
+            lane_edge3(edge_pre, P),
+            lane_msg_mask_bg(peptide_mask, pocket_mask, Cb, nch),
+            lane_s_mat(k, Cb),
+            k=k, Bp=Cb, O=O, interpret=interpret, bf16=bf16,
+            unroll=unroll, batch_grid=True,
+        )
+        node_back = lambda x: lane_to_node_bg(x, B, Cb, nch)
+        out_tors = jnp.stack(
+            (node_back(out_sin), node_back(out_cos)), axis=-1)
+        return (
+            RigidArray(node_back(out_q), node_back(out_t)),
+            out_tors,
+            node_back(out_feat),
+        )
+
     if B > CHUNK:
+        # N does not divide 2048: fall back to lax.map batch chunking
         pad = (-B) % CHUNK
         def padb(x):
             return jnp.pad(

@@ -35,7 +35,11 @@ def _layer_inputs(batch_size=4, seed=9):
     )
 
 
-@pytest.mark.parametrize("batch_size,lane_block", [(4, 128), (9, 128), (8, 1024)])
+@pytest.mark.parametrize(
+    "batch_size,lane_block",
+    # 300 > CHUNK=256 exercises the batch-grid path (ragged final chunk)
+    [(4, 128), (9, 128), (8, 1024), (300, 1024)],
+)
 def test_g8_kernel_matches_dense(batch_size, lane_block):
     params, args = _layer_inputs(batch_size=batch_size)
     dense_f, dense_t, dense_h = egnn_forward(params, *args)

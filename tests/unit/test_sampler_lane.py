@@ -82,3 +82,36 @@ def test_lane_sampler_own_rng_is_finite_and_unit():
     # the stochastic rotation step composes partial rotations of unit
     # quats, so outputs stay ~unit
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-3)
+
+
+def test_lane_sampler_g8_batch_grid_matches_generic():
+    """B > 256 sends the g8 sampler through the batch-grid path (the
+    kernel grid tiles 2048-lane batch chunks; chunk-major *_bg lane
+    layouts end-to-end). Same injected noise => same trajectory as the
+    generic sampler."""
+    model_config = ScoreNetworkConfig(
+        noise_step_count=CONFIG.noise_step_count, backend="pallas_lane",
+    )
+    params = init_score_network(jax.random.key(2), model_config)
+    batch = _noised_batch(jax.random.key(19), batch_size=300)  # ragged chunk
+    tables = ScheduleTables(CONFIG)
+    inj = _injected(jax.random.key(23), batch["frames"].shape)
+
+    generic = sample(
+        params, batch, jax.random.key(0), CONFIG, model_config, tables,
+        injected_noise=inj,
+    )
+    lane = sample_lane(
+        params, batch, jax.random.key(0), CONFIG, model_config, tables,
+        injected_noise=inj, interpret=True, g8=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(lane["frames"].quats),
+        np.asarray(generic["frames"].quats), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lane["frames"].trans),
+        np.asarray(generic["frames"].trans), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(lane["torsions"]),
+        np.asarray(generic["torsions"]), atol=2e-4)
