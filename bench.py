@@ -166,12 +166,16 @@ def bench_ours(precision_name: str = None, backend: str = None) -> float:
     return best
 
 
-def bench_sampler() -> float:
-    """Secondary metric: full T=1000 reverse-diffusion samples/sec at batch
-    64, f32, with the lane-packed fused kernel (measured 66.7/s vs 49.9
-    for the XLA backend; tools/bench_sampler.py has the full backend x
-    precision matrix). Falls back to the XLA backend if the Mosaic
-    compile ever fails on a future platform."""
+def bench_sampler(batch_size: int = None, bf16: bool = False) -> float:
+    """Secondary metric: full T=1000 reverse-diffusion samples/sec.
+
+    Default shape: batch 64, f32, lane-packed fused kernel (measured
+    66.7/s vs 49.9 for the XLA backend). With ``bf16=True`` the
+    throughput configuration: batch 1024 through the g8 batch-grid
+    sampler (measured 336/s — the round-3 sampling headline;
+    tools/bench_sampler.py has the full backend x precision matrix).
+    Falls back to the XLA backend if the Mosaic compile ever fails on a
+    future platform."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -182,31 +186,31 @@ def bench_sampler() -> float:
     from pmhc_tpu.models.nn import DEFAULT_PRECISION
     from pmhc_tpu.train.trainer import prepare_batch
 
+    bsz = batch_size or BATCH_SIZE
     dc = DiffusionConfig(noise_step_count=1000)
-    batch = prepare_batch(synthetic_batch(batch_size=BATCH_SIZE, seed=0))
+    batch = prepare_batch(synthetic_batch(batch_size=bsz, seed=0))
     noise = gen_noise(jax.random.key(1), batch["frames"].shape, dc)
     batch["frames"] = noise["frames"]
     batch["torsions"] = noise["torsions"]
     batch = jax.device_put(batch)
+    prec = None if bf16 else DEFAULT_PRECISION
 
     def build(backend):
         mc = ScoreNetworkConfig(noise_step_count=1000, backend=backend)
         params = init_score_network(jax.random.key(0), mc)
-        if backend == "pallas_lane":
+        if backend in ("pallas_lane", "g8"):
             # lane-layout scan: carry stays in kernel layout all T steps
             from pmhc_tpu.diffusion.sampler_lane import sample_lane
 
             fn = lambda p, b, k: sample_lane(
-                p, b, k, dc, mc, precision=DEFAULT_PRECISION
+                p, b, k, dc, mc, precision=prec, g8=(backend == "g8")
             )
         else:
-            fn = lambda p, b, k: sample(
-                p, b, k, dc, mc, precision=DEFAULT_PRECISION
-            )
+            fn = lambda p, b, k: sample(p, b, k, dc, mc, precision=prec)
         return params, jax.jit(fn)
 
     try:
-        params, run = build("pallas_lane")
+        params, run = build("g8" if bf16 else "pallas_lane")
         out = run(params, batch, jax.random.key(2))  # compile + warmup
         np.asarray(out["frames"].quats)
     except Exception:
@@ -218,7 +222,7 @@ def bench_sampler() -> float:
         start = time.perf_counter()
         out = run(params, batch, jax.random.key(3 + i))
         np.asarray(out["frames"].quats)
-        best = max(best, BATCH_SIZE / (time.perf_counter() - start))
+        best = max(best, bsz / (time.perf_counter() - start))
     return best
 
 
@@ -351,6 +355,14 @@ def _measure_child(queue):
             result["sampler"] = None
         queue.put(dict(result))
         try:
+            # the sampling-throughput configuration (round-3 headline):
+            # batch 1024 bf16 through the g8 batch-grid sampler
+            result["sampler_bf16"] = bench_sampler(batch_size=1024,
+                                                   bf16=True)
+        except Exception:
+            result["sampler_bf16"] = None
+        queue.put(dict(result))
+        try:
             # secondary axes (skipped silently if a compile ever fails):
             # the bf16 train config on the g8 backend (the fastest bf16
             # trainer) and the 3-pass-f32 config on pallas_lane
@@ -418,6 +430,13 @@ def main():
                 "metric": "sample_throughput",
                 "value": round(result["sampler"], 2),
                 "unit": "samples/s (T=1000, f32, batch 64)",
+            }))
+        if result.get("sampler_bf16") is not None:
+            print(json.dumps({
+                "metric": "sample_throughput_bf16",
+                "value": round(result["sampler_bf16"], 2),
+                "unit": "samples/s (T=1000, bf16, batch 1024, g8 "
+                        "batch-grid)",
             }))
         if result.get("bf16") is not None:
             print(json.dumps({
