@@ -322,10 +322,13 @@ def sample_lane(
     def layer_core(wl, hl, q, t_lane, tors14, s_lane, c_lane,
                    ajl, qj, tj, edge3l, O):
         if g8:
+            import os as _os
+
             return egnn_lane8_core(
                 wl, hl, q, t_lane, tors14, s_lane, c_lane,
                 ajl, qj, tj, nbr_cm_groups(qj), edge3l, mask_t, s_mat,
-                k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16, unroll=1,
+                k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16,
+                unroll=int(_os.environ.get("PMHC_G8_FWD_UNROLL", "1")),
                 batch_grid=batch_grid,
             )
         return egnn_lane_core(

@@ -55,6 +55,21 @@ INFINITY = 1e9
 F32 = jnp.float32
 G = 8  # neighbours per group (the full sublane height of a vreg)
 
+# Trace-time stage ablation for the FORWARD kernel cycle budget
+# (tools/bench_fwd_stages.py; the backward twin lives in
+# egnn_pallas_lane_vjp.ABLATE_STAGES). Each named stage is replaced by a
+# shape-compatible stand-in so Mosaic dead-code-eliminates the stage and
+# its exclusive producers; outputs are WRONG under ablation — timing
+# only. Stages:
+#   "expand"  neighbour operand expansion (aj/qj/tj repeats + the edge
+#             selection matmuls)
+#   "msgmm"   the message-MLP lin2 matmul
+#   "headmm"  the fused head lin1 matmul ([4T, M] @ msg)
+#   "head2mm" the fused block-diagonal head lin2 matmul (w2all)
+#   "rotcm"   the component-major quaternion chain + layout crossings
+#   "fold"    the group tree-folds + online-softmax accumulation
+ABLATE_STAGES: frozenset = frozenset()
+
 
 def _mm_maker(bf16):
     """3-mode matmul family (False / True / "high") — see
@@ -124,6 +139,7 @@ def _lane8(x):
 
 def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
     _mm, _mm0 = _mm_maker(bf16)
+    abl = ABLATE_STAGES  # timing-only stage ablation (see definition)
 
     def _kernel(
         # per-node, node-lane layout [C, BNB] (lane = n*Bp+b) — the j-major
@@ -197,16 +213,22 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         def one_group(g, carry):
             (m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt) = carry
 
-            aj8 = expand8(aj_ref, g)                      # [T, BNB8]
-            edge8 = jnp.concatenate(
-                [_mm0(edge_ref[g * G + j], s_mat) for j in range(G)],
-                axis=1,
-            )                                              # [T, BNB8]
-            pre8 = a_i8 + aj8 + edge8
-            msg8 = _mm(wm2_ref[:], jnp.maximum(pre8, 0.0)) + bm2_ref[:]
-
-            q_j8 = expand8(qj_ref, g)                     # [4, BNB8]
-            t_j8 = expand8(tj_ref, g)                     # [3, BNB8]
+            if "expand" in abl:  # timing ablation: wrong outputs
+                aj8 = a_i8
+                pre8 = a_i8
+                q_j8 = q_i8
+                t_j8 = 0.5 * t_i8
+            else:
+                aj8 = expand8(aj_ref, g)                  # [T, BNB8]
+                edge8 = jnp.concatenate(
+                    [_mm0(edge_ref[g * G + j], s_mat) for j in range(G)],
+                    axis=1,
+                )                                          # [T, BNB8]
+                pre8 = a_i8 + aj8 + edge8
+                q_j8 = expand8(qj_ref, g)                 # [4, BNB8]
+                t_j8 = expand8(tj_ref, g)                 # [3, BNB8]
+            msg8 = (pre8 if "msgmm" in abl else
+                    _mm(wm2_ref[:], jnp.maximum(pre8, 0.0)) + bm2_ref[:])
             mask8 = jnp.concatenate(
                 [mask_ref[g * G + j] for j in range(G)], axis=1
             )                                              # [1, BNB8]
@@ -215,41 +237,64 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             d2 = jnp.sum(jnp.square(tdiff), axis=0, keepdims=True)
             qdot = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
 
-            heads8 = _mm(wheads_ref[:], msg8)             # [4T, BNB8]
+            heads8 = (pltpu.repeat(msg8, 4, axis=0) if "headmm" in abl
+                      else _mm(wheads_ref[:], msg8))      # [4T, BNB8]
 
             # ---- rotation geometry, component-major ------------------
-            qj_cm = rep(qjg_cm_ref[g])                    # [32, BNB]
-            # exact-zero guard: batch-PADDING lanes carry zero quats and
-            # 0/0 NaNs would trip jax_debug_nans (and persist in the g8
-            # sampler's scan carry) even though padded lanes are sliced
-            # off — same guard as the VJP twin (_g8_ctx)
-            sq = jnp.maximum(_mm(rsq, jnp.square(qj_cm)), 1e-30)  # [8, BNB]
-            conj = jnp.concatenate((qj_cm[0:8], -qj_cm[8:32]), axis=0)
-            inv_cm = conj / _mm(t4, sq)                   # [32, BNB]
-            local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
+            W8 = heads8.shape[-1]
+            if "rotcm" in abl:  # timing ablation: wrong outputs
+                rot_pre = tor_node8
+            else:
+                qj_cm = rep(qjg_cm_ref[g])                # [32, BNB]
+                # exact-zero guard: batch-PADDING lanes carry zero quats
+                # and 0/0 NaNs would trip jax_debug_nans (and persist in
+                # the g8 sampler's scan carry) even though padded lanes
+                # are sliced off — same guard as the VJP twin (_g8_ctx)
+                sq = jnp.maximum(
+                    _mm(rsq, jnp.square(qj_cm)), 1e-30)   # [8, BNB]
+                conj = jnp.concatenate((qj_cm[0:8], -qj_cm[8:32]), axis=0)
+                inv_cm = conj / _mm(t4, sq)               # [32, BNB]
+                local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
+                rot_pre = _mm(wrq_ref[:], cm_to_lane(local_cm)) + br1_ref[:]
 
             # the four heads' pre-activations as ONE [4T, BNB8] tensor,
             # one relu, one fused block-diagonal lin2 matmul (W2ALL)
-            W8 = heads8.shape[-1]
             pre_heads = heads8 + jnp.concatenate(
                 (
                     wad * (-d2) + waq * jnp.square(qdot) + ba1_ref[:],
-                    _mm(wrq_ref[:], cm_to_lane(local_cm)) + br1_ref[:],
+                    rot_pre,
                     tor_node8 + bt1_ref[:],
                     jnp.broadcast_to(bl1_ref[:], (T, W8)),
                 ),
                 axis=0,
             )
-            out_all = _mm(w2all_ref[:], jnp.maximum(pre_heads, 0.0)) \
-                + b2all_ref[:]                             # [32, BNB8]
+            out_all = (pre_heads[0:32] if "head2mm" in abl else
+                       _mm(w2all_ref[:], jnp.maximum(pre_heads, 0.0))
+                       + b2all_ref[:])                     # [32, BNB8]
             logits = out_all[0:1] - (1.0 - mask8) * INFINITY
             # sigmoid quat used UNNORMALIZED (reference model.py:291-292)
             ld8 = jax.nn.sigmoid(out_all[8:12])            # [4, BNB8]
-            gdelta_cm = _qmul_cm(qj_cm, _qmul_cm(lane_to_cm(ld8), inv_cm))
-            gdelta8 = cm_to_lane(gdelta_cm)               # [4, BNB8]
+            if "rotcm" in abl:  # timing ablation: wrong outputs
+                gdelta8 = ld8
+            else:
+                gdelta_cm = _qmul_cm(
+                    qj_cm, _qmul_cm(lane_to_cm(ld8), inv_cm))
+                gdelta8 = cm_to_lane(gdelta_cm)           # [4, BNB8]
             mdelta8 = out_all[16:23]                       # [7, BNB8]
             mtr8 = out_all[24:25]                          # [1, BNB8]
             mr8 = mtr8 * tdiff                             # [3, BNB8]
+
+            if "fold" in abl:  # timing ablation: wrong outputs
+                cut = lambda x: x[:, :BNB]
+                return (
+                    jnp.maximum(m_run, cut(logits)),
+                    acc_d + cut(logits),
+                    acc_gd + cut(gdelta8),
+                    acc_ta + cut(mdelta8),
+                    acc_tr + cut(mr8),
+                    acc_msg + cut(msg8),
+                    acc_cnt + cut(mask8),
+                )
 
             # ---- group tree-fold to node width, then one online-softmax
             # fold into the running accumulators -----------------------
