@@ -166,7 +166,19 @@ def main(argv=None) -> None:
                 precision=precision,
             )
 
+    from pmhc_tpu.io.pdb import convert_batch_for_pdb, fetch_pdb_arrays
+
+    def write_batch(conv, names):
+        # one blocking fetch per batch (the conversion was dispatched
+        # right after that batch's sampler, so by now the device has
+        # moved on to the NEXT batch and this returns early)
+        pc = fetch_pdb_arrays(conv)
+        for i, name in enumerate(names):
+            save_pdb(None, i, f"{output_path}/{name}.pdb", precomputed=pc)
+            _log.debug("saved %s.pdb", name)
+
     key = jax.random.key(args.seed)
+    pending = None  # (conversion outputs on device, entry names)
     for batch in loader:
         names = batch.pop("name")
         # pad a short final batch up to the full batch size (repeat row 0)
@@ -192,10 +204,15 @@ def main(argv=None) -> None:
         pred_batch = run_sample(model_batch, sample_key)
         pred_batch = dict(pred_batch)
         pred_batch.update(dataset.get_protein_positions(names))
-
-        for i, name in enumerate(names):
-            save_pdb(pred_batch, i, f"{output_path}/{name}.pdb")
-            _log.debug("saved %s.pdb", name)
+        # queue the batch-level atom conversion behind this batch's
+        # sampler, then write the PREVIOUS batch's PDBs while the device
+        # works — host serialization overlaps device sampling
+        conv = convert_batch_for_pdb(pred_batch)
+        if pending is not None:
+            write_batch(*pending)
+        pending = (conv, names)
+    if pending is not None:
+        write_batch(*pending)
     _log.info("wrote PDB files to %s", output_path)
 
 

@@ -65,17 +65,14 @@ def _ter_record(serial, resname, chain, resseq) -> str:
     return f"TER   {serial:>5}      {resname:>3} {chain}{resseq:>4} ".ljust(80) + "\n"
 
 
-def save_pdb(batch: Dict[str, Any], batch_index: int, path: str) -> None:
-    """Write one complex (peptide chain P + protein chain M) as PDB.
-
-    ``batch`` holds the sampler output plus ``get_protein_positions``
-    fields: frames (RigidArray [B, N]), torsions [B, N, 7, 2], aatype,
-    mask, protein_aatype, protein_atom14_positions, protein_atom14_exists.
-    """
+def convert_batch_for_pdb(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Dispatch the batch-level torsion->frames->atom14 conversion ONCE
+    (device arrays out, no blocking fetch). The sampling CLI queues this
+    right after a batch's sampler dispatch and fetches it one batch
+    later, so PDB writing overlaps the next batch's device time."""
     import jax.numpy as jnp
 
     frames: RigidArray = batch["frames"]
-    # all-batch idealized coordinates (device math, fetched once)
     group_rots, group_trans = torsion_angles_to_frames(
         frames,
         jnp.asarray(batch["torsions"]),
@@ -90,15 +87,63 @@ def save_pdb(batch: Dict[str, Any], batch_index: int, path: str) -> None:
         jnp.asarray(rc.restype_atom14_mask),
         jnp.asarray(rc.restype_atom14_rigid_group_positions),
     )
+    return {
+        "aatype": batch["aatype"],
+        "mask": batch["mask"],
+        "quats": frames.quats,
+        "trans": frames.trans,
+        "atom14": atom14,
+        "group_rots": group_rots,
+        "group_trans": group_trans,
+        "protein_aatype": batch["protein_aatype"],
+        "protein_atom14_positions": batch["protein_atom14_positions"],
+        "protein_atom14_exists": batch["protein_atom14_exists"],
+    }
+
+
+def fetch_pdb_arrays(conv: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Fetch a ``convert_batch_for_pdb`` result to host numpy."""
+    pc = {k: np.asarray(v) for k, v in conv.items()}
+    pc["mask"] = pc["mask"].astype(bool)
+    pc["protein_atom14_exists"] = pc["protein_atom14_exists"].astype(bool)
+    return pc
+
+
+def precompute_pdb_arrays(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Run the batch-level torsion->frames->atom14 conversion ONCE and
+    fetch every array ``save_pdb`` reads to host numpy.
+
+    Without this, writing a B-entry batch pays B redundant full-batch
+    device dispatches + fetches (one per ``save_pdb`` call) — measured
+    as the end-to-end wall of the sampling CLI at batch 256+."""
+    return fetch_pdb_arrays(convert_batch_for_pdb(batch))
+
+
+def save_pdb(
+    batch: Dict[str, Any],
+    batch_index: int,
+    path: str,
+    precomputed: Dict[str, np.ndarray] | None = None,
+) -> None:
+    """Write one complex (peptide chain P + protein chain M) as PDB.
+
+    ``batch`` holds the sampler output plus ``get_protein_positions``
+    fields: frames (RigidArray [B, N]), torsions [B, N, 7, 2], aatype,
+    mask, protein_aatype, protein_atom14_positions, protein_atom14_exists.
+    When writing many entries of one batch, pass
+    ``precomputed=precompute_pdb_arrays(batch)`` so the batch-level
+    conversion and device fetches run once, not per entry.
+    """
+    pc = precomputed if precomputed is not None else precompute_pdb_arrays(batch)
 
     b = batch_index
-    aatype = np.asarray(batch["aatype"])[b]
-    mask = np.asarray(batch["mask"])[b].astype(bool)
-    quats = _normalize(np.asarray(frames.quats)[b])
-    trans = np.asarray(frames.trans)[b]
-    atom14_np = np.asarray(atom14)[b]
-    group_rots_np = np.asarray(group_rots)[b]
-    group_trans_np = np.asarray(group_trans)[b]
+    aatype = pc["aatype"][b]
+    mask = pc["mask"][b]
+    quats = _normalize(pc["quats"][b])
+    trans = pc["trans"][b]
+    atom14_np = pc["atom14"][b]
+    group_rots_np = pc["group_rots"][b]
+    group_trans_np = pc["group_trans"][b]
     n_res = aatype.shape[0]
 
     def apply_frame(i: int, p) -> np.ndarray:
@@ -180,9 +225,9 @@ def save_pdb(batch: Dict[str, Any], batch_index: int, path: str) -> None:
         lines.append(_ter_record(out_serial + 1, last[0], "P", last[1]))
 
     # chain M: the full protein from stored atom14 (pdb.py:178-204)
-    p_aatype = np.asarray(batch["protein_aatype"])[b]
-    p_pos = np.asarray(batch["protein_atom14_positions"])[b]
-    p_exists = np.asarray(batch["protein_atom14_exists"])[b].astype(bool)
+    p_aatype = pc["protein_aatype"][b]
+    p_pos = pc["protein_atom14_positions"][b]
+    p_exists = pc["protein_atom14_exists"][b]
     last = None
     for ri in range(p_aatype.shape[0]):
         aa_name = rc.restype_1to3[rc.restypes[int(p_aatype[ri])]]
