@@ -241,8 +241,9 @@ def bench_end_to_end() -> float:
     ``--device-data --steps-per-dispatch K`` (batches gathered from the
     device-resident dataset INSIDE the training scan; only the [K, B]
     index matrix crosses the host->device link per dispatch). bf16,
-    batch 1024, backend pallas_lane — the configuration of the 56.9k
-    examples/s claim in docs/status.md."""
+    batch 1024, backend g8 — the CLI's `--backend auto --bf16`
+    production configuration (batch-grid backward + w2all; the 56.9k
+    examples/s round-2 claim used pallas_lane)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -254,7 +255,8 @@ def bench_end_to_end() -> float:
 
     N_ENTRIES, B, K = 4096, 1024, 8
     trainer = Trainer(
-        ScoreNetworkConfig(backend="pallas_lane"), DiffusionConfig(),
+        ScoreNetworkConfig(backend=os.environ.get("PMHC_E2E_BACKEND", "g8")),
+        DiffusionConfig(),
         TrainConfig(seed=0), precision=None,  # bf16 MXU matmuls
     )
     host = synthetic_batch(batch_size=N_ENTRIES, seed=0, as_jax=False)
