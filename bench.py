@@ -58,12 +58,12 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 # time, the bench falls back to the LAST VERIFIED measurement below rather
 # than hanging the driver. Raise via PMHC_BENCH_DEADLINE.
 DEADLINE = int(os.environ.get("PMHC_BENCH_DEADLINE", "2400"))
-# measured 2026-08-16 on this chip (v5e via axon), batch 64, T=1000,
+# measured 2026-08-18 on this chip (v5e via axon), batch 64, T=1000,
 # backend pallas_lane (fwd + hand-written bwd kernels), device_get
 # barriers, scan mode K=50, device-resident input, best of 5 windows;
-# vs_baseline is the CONSERVATIVE ratio against the quiet-host torch
-# baseline floor (0.444 steps/s), not a loaded-host window
-LAST_VERIFIED = {"steps_per_sec": 265.423, "vs_baseline": 597.8}
+# vs_baseline is the CONSERVATIVE ratio against the live-re-measured
+# torch baseline in the same session (bench.py run, round 3)
+LAST_VERIFIED = {"steps_per_sec": 259.36, "vs_baseline": 400.65}
 
 
 def bench_ours(precision_name: str = None, backend: str = None) -> float:
