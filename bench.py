@@ -209,12 +209,14 @@ def bench_sampler(batch_size: int = None, bf16: bool = False) -> float:
             fn = lambda p, b, k: sample(p, b, k, dc, mc, precision=prec)
         return params, jax.jit(fn)
 
+    used = "g8" if bf16 else "pallas_lane"
     try:
-        params, run = build("g8" if bf16 else "pallas_lane")
+        params, run = build(used)
         out = run(params, batch, jax.random.key(2))  # compile + warmup
         np.asarray(out["frames"].quats)
     except Exception:
-        params, run = build("xla")
+        used = "xla"
+        params, run = build(used)
         out = run(params, batch, jax.random.key(2))
         np.asarray(out["frames"].quats)
     best = 0.0
@@ -223,7 +225,7 @@ def bench_sampler(batch_size: int = None, bf16: bool = False) -> float:
         out = run(params, batch, jax.random.key(3 + i))
         np.asarray(out["frames"].quats)
         best = max(best, bsz / (time.perf_counter() - start))
-    return best
+    return best, used
 
 
 # Fastest torch-reference step rate ever observed on this machine
@@ -352,15 +354,15 @@ def _measure_child(queue):
             result["vs_baseline"] = None
         queue.put(dict(result))
         try:
-            result["sampler"] = bench_sampler()
+            result["sampler"], result["sampler_backend"] = bench_sampler()
         except Exception:
             result["sampler"] = None
         queue.put(dict(result))
         try:
             # the sampling-throughput configuration (round-3 headline):
             # batch 1024 bf16 through the g8 batch-grid sampler
-            result["sampler_bf16"] = bench_sampler(batch_size=1024,
-                                                   bf16=True)
+            result["sampler_bf16"], result["sampler_bf16_backend"] = (
+                bench_sampler(batch_size=1024, bf16=True))
         except Exception:
             result["sampler_bf16"] = None
         queue.put(dict(result))
@@ -431,14 +433,15 @@ def main():
             print(json.dumps({
                 "metric": "sample_throughput",
                 "value": round(result["sampler"], 2),
-                "unit": "samples/s (T=1000, f32, batch 64)",
+                "unit": "samples/s (T=1000, f32, batch 64, backend "
+                        f"{result.get('sampler_backend', '?')})",
             }))
         if result.get("sampler_bf16") is not None:
             print(json.dumps({
                 "metric": "sample_throughput_bf16",
                 "value": round(result["sampler_bf16"], 2),
-                "unit": "samples/s (T=1000, bf16, batch 1024, g8 "
-                        "batch-grid)",
+                "unit": "samples/s (T=1000, bf16, batch 1024, backend "
+                        f"{result.get('sampler_bf16_backend', '?')})",
             }))
         if result.get("bf16") is not None:
             print(json.dumps({

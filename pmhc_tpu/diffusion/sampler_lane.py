@@ -204,6 +204,7 @@ def sample_lane(
     interpret: bool | None = None,
     unroll: int = 4,
     g8: bool = False,
+    g8_unroll: int = 1,
 ) -> Dict[str, Any]:
     """Full reverse diffusion with the lane-packed fused kernel, scan
     carry kept in lane layout end-to-end.
@@ -242,10 +243,14 @@ def sample_lane(
     # chunks (k == N query rows x Cb entries) instead of one huge cell
     # whose [4T, 8*k*Bp] group tiles would exhaust VMEM; all lane state
     # lives in the chunk-major *_bg layouts (identical to the plain
-    # layouts when nch == 1)
-    batch_grid = g8 and B > 256 and N * (2048 // N) == 2048
+    # layouts when nch == 1). Mosaic requires the per-chunk lane width
+    # (2048/N) divisible by 128 for the partial-axis resident blocks
+    # (interpret exempt; same constraint as the VJP batch-grid)
+    Cb = 2048 // N if N <= 2048 else 0
+    batch_grid = (g8 and B > 256 and N * Cb == 2048
+                  and (interpret or Cb % 128 == 0))
     if batch_grid:
-        k, Bp = N, 2048 // N
+        k, Bp = N, Cb
         nch = -(-B // Bp)
     else:
         k, Bp = lane_geometry(B, N, model_config.lane_block)
@@ -322,14 +327,11 @@ def sample_lane(
     def layer_core(wl, hl, q, t_lane, tors14, s_lane, c_lane,
                    ajl, qj, tj, edge3l, O):
         if g8:
-            import os as _os
-
             return egnn_lane8_core(
                 wl, hl, q, t_lane, tors14, s_lane, c_lane,
                 ajl, qj, tj, nbr_cm_groups(qj), edge3l, mask_t, s_mat,
                 k=k, Bp=Bp, O=O, interpret=interpret, bf16=bf16,
-                unroll=int(_os.environ.get("PMHC_G8_FWD_UNROLL", "1")),
-                batch_grid=batch_grid,
+                unroll=g8_unroll, batch_grid=batch_grid,
             )
         return egnn_lane_core(
             wl, hl, q, t_lane, tors14, s_lane, c_lane,

@@ -513,61 +513,19 @@ def egnn_forward_pallas_lane_g8(
     # the group-lane tiles are G times wider than the lane kernel's, so
     # big batches tile the kernel GRID over batch chunks (heads8 at
     # B=1024 in one cell would be [4T, 64k] = 67 MB f32; per-chunk cells
-    # keep it at 16 MB and Mosaic pipelines chunk HBM transfers)
+    # keep it at 16 MB and Mosaic pipelines chunk HBM transfers).
+    # batch-grid needs k == N query rows per cell at a lane-legal chunk
+    # width: the [*, C, nch*Cb] residents are lane-blocked at Cb, which
+    # Mosaic requires divisible by 128 when the block doesn't span the
+    # whole axis (same constraint as the VJP's batch-grid; interpret
+    # mode is exempt)
     CHUNK = 256
-    if B > CHUNK and N * (2048 // N) == 2048:
-        from pmhc_tpu.ops.egnn_pallas_lane import (
-            lane_msg_mask_bg, lane_to_node_bg, nbr_to_lane_bg,
-            node_to_lane_bg,
-        )
+    Cb = 2048 // N if N <= 2048 else 0
+    batch_grid = (B > CHUNK and N * Cb == 2048
+                  and (interpret or Cb % 128 == 0))
 
-        k, Cb = N, 2048 // N          # k == N query rows x Cb batch
-        nch = -(-B // Cb)
-
-        h_all = jnp.concatenate(
-            (peptide_features, pocket_features), axis=-2)
-        q_all = jnp.concatenate(
-            (peptide_frames.quats, pocket_frames.quats), axis=-2)
-        t_all = jnp.concatenate(
-            (peptide_frames.trans, pocket_frames.trans), axis=-2)
-        w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)
-        a_j = jnp.einsum(
-            "bph,ht->bpt", h_all, w1m[H:2 * H],
-            precision=lax.Precision.HIGHEST,
-        )
-        weights = pack_lane_weights(params, H)
-        tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
-        from pmhc_tpu.ops.egnn_pallas_lane import lane_edge3, lane_s_mat
-
-        out_q, out_t, out_sin, out_cos, out_feat = egnn_lane8_core(
-            weights,
-            node_to_lane_bg(peptide_features, Cb, nch),
-            node_to_lane_bg(peptide_frames.quats, Cb, nch),
-            node_to_lane_bg(peptide_frames.trans, Cb, nch),
-            node_to_lane_bg(tors_flat, Cb, nch),
-            node_to_lane_bg(peptide_torsions[..., 0], Cb, nch),
-            node_to_lane_bg(peptide_torsions[..., 1], Cb, nch),
-            nbr_to_lane_bg(a_j, Cb, nch),
-            nbr_to_lane_bg(q_all, Cb, nch),
-            nbr_to_lane_bg(t_all, Cb, nch),
-            nbr_to_cm8_bg(q_all, Cb, nch),
-            lane_edge3(edge_pre, P),
-            lane_msg_mask_bg(peptide_mask, pocket_mask, Cb, nch),
-            lane_s_mat(k, Cb),
-            k=k, Bp=Cb, O=O, interpret=interpret, bf16=bf16,
-            unroll=unroll, batch_grid=True,
-        )
-        node_back = lambda x: lane_to_node_bg(x, B, Cb, nch)
-        out_tors = jnp.stack(
-            (node_back(out_sin), node_back(out_cos)), axis=-1)
-        return (
-            RigidArray(node_back(out_q), node_back(out_t)),
-            out_tors,
-            node_back(out_feat),
-        )
-
-    if B > CHUNK:
-        # N does not divide 2048: fall back to lax.map batch chunking
+    if B > CHUNK and not batch_grid:
+        # no lane-legal batch-grid geometry: lax.map batch chunking
         pad = (-B) % CHUNK
         def padb(x):
             return jnp.pad(
@@ -598,9 +556,8 @@ def egnn_forward_pallas_lane_g8(
         merge = lambda x: x.reshape(-1, *x.shape[2:])[:B]
         return (RigidArray(merge(oq), merge(ot)), merge(otr), merge(ohh))
 
-    k, Bp = lane_geometry(B, N, lane_block)
+    # operand preparation shared by the single-cell and batch-grid paths
     weights = pack_lane_weights(params, H)
-
     h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
     q_all = jnp.concatenate(
         (peptide_frames.quats, pocket_frames.quats), axis=-2
@@ -611,11 +568,48 @@ def egnn_forward_pallas_lane_g8(
 
     w1m = jnp.asarray(params["message"]["lin1"]["w"], F32)
     a_j = jnp.einsum(
-        "bph,ht->bpt", h_all, w1m[H:2 * H], precision=lax.Precision.HIGHEST,
+        "bph,ht->bpt", h_all, w1m[H:2 * H],
+        precision=lax.Precision.HIGHEST,
     )
 
     tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
 
+    if batch_grid:
+        from pmhc_tpu.ops.egnn_pallas_lane import (
+            lane_msg_mask_bg, lane_to_node_bg, nbr_to_lane_bg,
+            node_to_lane_bg,
+        )
+
+        k = N                          # k == N query rows x Cb batch
+        nch = -(-B // Cb)
+        out_q, out_t, out_sin, out_cos, out_feat = egnn_lane8_core(
+            weights,
+            node_to_lane_bg(peptide_features, Cb, nch),
+            node_to_lane_bg(peptide_frames.quats, Cb, nch),
+            node_to_lane_bg(peptide_frames.trans, Cb, nch),
+            node_to_lane_bg(tors_flat, Cb, nch),
+            node_to_lane_bg(peptide_torsions[..., 0], Cb, nch),
+            node_to_lane_bg(peptide_torsions[..., 1], Cb, nch),
+            nbr_to_lane_bg(a_j, Cb, nch),
+            nbr_to_lane_bg(q_all, Cb, nch),
+            nbr_to_lane_bg(t_all, Cb, nch),
+            nbr_to_cm8_bg(q_all, Cb, nch),
+            lane_edge3(edge_pre, P),
+            lane_msg_mask_bg(peptide_mask, pocket_mask, Cb, nch),
+            lane_s_mat(k, Cb),
+            k=k, Bp=Cb, O=O, interpret=interpret, bf16=bf16,
+            unroll=unroll, batch_grid=True,
+        )
+        node_back = lambda x: lane_to_node_bg(x, B, Cb, nch)
+        out_tors = jnp.stack(
+            (node_back(out_sin), node_back(out_cos)), axis=-1)
+        return (
+            RigidArray(node_back(out_q), node_back(out_t)),
+            out_tors,
+            node_back(out_feat),
+        )
+
+    k, Bp = lane_geometry(B, N, lane_block)
     out_q, out_t, out_sin, out_cos, out_feat = egnn_lane8_core(
         weights,
         node_to_lane(peptide_features, Bp),

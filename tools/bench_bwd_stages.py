@@ -127,39 +127,43 @@ def main():
         return jax.jit(scanned)
 
     results = {}
-    for name in args.stages.split(","):
-        vjp_mod.ABLATE_STAGES = (
-            frozenset() if name in ("full", "fwdonly")
-            else frozenset([name]))
-        vjp_mod._loop_fn.cache_clear()
-        fn = build(fwdonly=name == "fwdonly")
-        t0 = time.perf_counter()
-        out = fn(*layer_args)
-        np.asarray(out)
-        compile_s = time.perf_counter() - t0
-
-        best = float("inf")
-        for _ in range(args.repeats):
+    try:
+        for name in args.stages.split(","):
+            vjp_mod.ABLATE_STAGES = (
+                frozenset() if name in ("full", "fwdonly")
+                else frozenset([name]))
+            vjp_mod._loop_fn.cache_clear()
+            fn = build(fwdonly=name == "fwdonly")
             t0 = time.perf_counter()
-            o = None
-            for _ in range(args.iters):
-                o = fn(*layer_args)
-            np.asarray(o)
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        ms = best / args.scan * 1e3
-        results[name] = ms
-        row = {"stage": name, "batch": B,
-               "mode": ("bf16" if args.bf16
-                        else "fast-f32" if args.fast_f32 else "f32"),
-               "ms_per_step": round(ms, 4),
-               "compile_s": round(compile_s, 1)}
-        if "full" in results and name not in ("full", "fwdonly"):
-            row["stage_ms"] = round(results["full"] - ms, 4)
-            row["share_of_full"] = round(
-                (results["full"] - ms) / results["full"], 3)
-        print(json.dumps(row), flush=True)
-    vjp_mod.ABLATE_STAGES = frozenset()
-    vjp_mod._loop_fn.cache_clear()
+            out = fn(*layer_args)
+            np.asarray(out)
+            compile_s = time.perf_counter() - t0
+
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                o = None
+                for _ in range(args.iters):
+                    o = fn(*layer_args)
+                np.asarray(o)
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+            ms = best / args.scan * 1e3
+            results[name] = ms
+            row = {"stage": name, "batch": B,
+                   "mode": ("bf16" if args.bf16
+                            else "fast-f32" if args.fast_f32 else "f32"),
+                   "ms_per_step": round(ms, 4),
+                   "compile_s": round(compile_s, 1)}
+            if "full" in results and name not in ("full", "fwdonly"):
+                row["stage_ms"] = round(results["full"] - ms, 4)
+                row["share_of_full"] = round(
+                    (results["full"] - ms) / results["full"], 3)
+            print(json.dumps(row), flush=True)
+    finally:
+        # ablated kernels compute WRONG gradients — never leave the
+        # module in that state for a caller that imported this script
+        vjp_mod.ABLATE_STAGES = frozenset()
+        vjp_mod._loop_fn.cache_clear()
     if "full" in results and "fwdonly" in results:
         print(json.dumps({
             "bwd_ms": round(results["full"] - results["fwdonly"], 4),

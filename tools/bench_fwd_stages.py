@@ -111,36 +111,40 @@ def main():
         return jax.jit(scanned)
 
     results = {}
-    for name in args.stages.split(","):
-        g8_mod.ABLATE_STAGES = (
-            frozenset() if name == "full" else frozenset([name]))
-        fn = build()
-        t0 = time.perf_counter()
-        out = fn(*layer_args)
-        np.asarray(out)
-        compile_s = time.perf_counter() - t0
-
-        best = float("inf")
-        for _ in range(args.repeats):
+    try:
+        for name in args.stages.split(","):
+            g8_mod.ABLATE_STAGES = (
+                frozenset() if name == "full" else frozenset([name]))
+            fn = build()
             t0 = time.perf_counter()
-            o = None
-            for _ in range(args.iters):
-                o = fn(*layer_args)
-            np.asarray(o)
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        ms = best / args.scan * 1e3
-        results[name] = ms
-        row = {"stage": name, "batch": B,
-               "mode": ("bf16" if args.bf16
-                        else "fast-f32" if args.fast_f32 else "f32"),
-               "ms_per_step": round(ms, 4),
-               "compile_s": round(compile_s, 1)}
-        if "full" in results and name != "full":
-            row["stage_ms"] = round(results["full"] - ms, 4)
-            row["share_of_full"] = round(
-                (results["full"] - ms) / results["full"], 3)
-        print(json.dumps(row), flush=True)
-    g8_mod.ABLATE_STAGES = frozenset()
+            out = fn(*layer_args)
+            np.asarray(out)
+            compile_s = time.perf_counter() - t0
+
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                o = None
+                for _ in range(args.iters):
+                    o = fn(*layer_args)
+                np.asarray(o)
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+            ms = best / args.scan * 1e3
+            results[name] = ms
+            row = {"stage": name, "batch": B,
+                   "mode": ("bf16" if args.bf16
+                            else "fast-f32" if args.fast_f32 else "f32"),
+                   "ms_per_step": round(ms, 4),
+                   "compile_s": round(compile_s, 1)}
+            if "full" in results and name != "full":
+                row["stage_ms"] = round(results["full"] - ms, 4)
+                row["share_of_full"] = round(
+                    (results["full"] - ms) / results["full"], 3)
+            print(json.dumps(row), flush=True)
+    finally:
+        # ablated kernels compute WRONG outputs — never leave the module
+        # in that state for a caller that imported this script
+        g8_mod.ABLATE_STAGES = frozenset()
 
 
 if __name__ == "__main__":

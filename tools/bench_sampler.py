@@ -67,9 +67,13 @@ def main():
         if backend in ("lane_scan", "g8_scan"):
             from pmhc_tpu.diffusion.sampler_lane import sample_lane
 
+            # PMHC_G8_FWD_UNROLL: probe knob for the g8 group-loop
+            # unroll (swept 1/2/4 on chip: 325.9/324.8/297.7 samples/s
+            # at bf16 batch 256 — default 1 is right)
+            g8u = int(os.environ.get("PMHC_G8_FWD_UNROLL", "1"))
             run = jax.jit(
                 lambda p, b, k, _g8=(backend == "g8_scan"): sample_lane(
-                    p, b, k, dc, mc, precision=prec, g8=_g8)
+                    p, b, k, dc, mc, precision=prec, g8=_g8, g8_unroll=g8u)
             )
         else:
             run = jax.jit(
