@@ -61,6 +61,10 @@ def build_parser() -> ArgumentParser:
                         "lax.Precision.HIGH (~1e-6 rel err), Pallas kernels "
                         "emulate it with bf16 hi/lo split dots "
                         "(~1.5e-5 rel err)")
+    p.add_argument("--validate-data", action="store_true",
+                   help="check the HDF5 against the SwiftMHC schema before "
+                        "sampling and abort with actionable messages on "
+                        "drift (pmhc_tpu.data.validate)")
     return p
 
 
@@ -83,6 +87,18 @@ def main(argv=None) -> None:
     from pmhc_tpu.io import save_pdb
     from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
     from pmhc_tpu.train.trainer import prepare_batch
+
+    if args.validate_data:
+        from pmhc_tpu.data.validate import validate_hdf5
+
+        checked, problems = validate_hdf5(args.test_hdf5)
+        for prob in problems:
+            _log.error("schema: %s", prob)
+        if problems:
+            raise SystemExit(
+                f"{args.test_hdf5}: {len(problems)} schema problems in "
+                f"{checked} entries (see above)")
+        _log.info("schema: %d entries validated clean", checked)
 
     backend = args.backend
     context_parallel = args.mesh_context > 1 or backend in ("cp", "ring")

@@ -92,6 +92,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "
                         "(deviates from the reference quirk)")
+    p.add_argument("--validate-data", action="store_true",
+                   help="check the HDF5 against the SwiftMHC schema before "
+                        "training and abort with actionable messages on "
+                        "drift (pmhc_tpu.data.validate)")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="scan this many optimizer steps inside one device "
                         "dispatch (amortizes host->TPU latency; identical "
@@ -137,6 +141,18 @@ def main(argv=None) -> None:
     from pmhc_tpu.models.nn import DEFAULT_PRECISION
     from pmhc_tpu.parallel import batch_sharding, make_mesh
     from pmhc_tpu.train import MetricsRecord, Trainer, TrainConfig
+
+    if args.validate_data:
+        from pmhc_tpu.data.validate import validate_hdf5
+
+        checked, problems = validate_hdf5(args.train_hdf5)
+        for prob in problems:
+            _log.error("schema: %s", prob)
+        if problems:
+            raise SystemExit(
+                f"{args.train_hdf5}: {len(problems)} schema problems in "
+                f"{checked} entries (see above)")
+        _log.info("schema: %d entries validated clean", checked)
 
     backend = args.backend
     three_axis = args.mesh_context > 1 and args.mesh_model > 1
