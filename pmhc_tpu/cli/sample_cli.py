@@ -65,6 +65,14 @@ def build_parser() -> ArgumentParser:
                    help="check the HDF5 against the SwiftMHC schema before "
                         "sampling and abort with actionable messages on "
                         "drift (pmhc_tpu.data.validate)")
+    p.add_argument("--sample-steps", type=int, default=None,
+                   help="reverse-diffusion jumps per trajectory (default: "
+                        "T, the reference's full chain). Fewer steps run "
+                        "the same ancestral update over a strided t-grid "
+                        "(the reference's remove_noise math generalized "
+                        "to arbitrary (t, s) jumps — golden-tested) for a "
+                        "~T/K sampling speedup; quality vs K measured in "
+                        "docs/parity.md")
     return p
 
 
@@ -161,7 +169,7 @@ def main(argv=None) -> None:
         def run_sample(batch, key):
             return sample_sharded(
                 params, batch, key, diffusion_config, model_config, mesh,
-                tables, precision=precision,
+                tables, precision=precision, num_steps=args.sample_steps,
             )
     elif backend in ("pallas_lane", "g8"):
         # lane-layout sampler: the scan carry stays in the fused kernel's
@@ -173,13 +181,14 @@ def main(argv=None) -> None:
             return sample_lane(
                 params, batch, key, diffusion_config, model_config, tables,
                 precision=precision, g8=backend == "g8",
+                num_steps=args.sample_steps,
             )
     else:
         @jax.jit
         def run_sample(batch, key):
             return sample(
                 params, batch, key, diffusion_config, model_config, tables,
-                precision=precision,
+                precision=precision, num_steps=args.sample_steps,
             )
 
     from pmhc_tpu.io.pdb import convert_batch_for_pdb, fetch_pdb_arrays

@@ -108,16 +108,33 @@ def remove_noise(
     Mirrors ``optimizer.py:140-193``; the derived scalars
     (alpha_ts, sigma_ts^2, sigma_t->s) come from the precomputed f64->f32
     tables (t is traced inside the sampler scan). ``s`` must equal t-1,
-    which is the only way the reference ever calls it (``optimizer.py:243``).
+    which is the only way the reference ever calls it (``optimizer.py:243``);
+    for arbitrary (t, s) jumps use ``remove_noise_scalars`` with
+    ``StridedTables`` (the ``--sample-steps`` few-step sampler).
     """
     del s  # tables are precomputed for the s = t-1 pairing
-    beta_t = tables.beta[t]
-    sigma_t = tables.sigma[t]
-    beta_s = tables.beta[t - 1]
-    alpha_ts = tables.alpha_ts[t]
-    sqr_sigma_ts = tables.sqr_sigma_ts[t]
-    sigma_t2s = tables.sigma_t2s[t]
+    return remove_noise_scalars(
+        noised, predicted, random_noise,
+        tables.beta[t], tables.sigma[t], tables.beta[t - 1],
+        tables.alpha_ts[t], tables.sqr_sigma_ts[t], tables.sigma_t2s[t],
+    )
 
+
+def remove_noise_scalars(
+    noised: Dict[str, Any],
+    predicted: Noise,
+    random_noise: Noise,
+    beta_t,
+    sigma_t,
+    beta_s,
+    alpha_ts,
+    sqr_sigma_ts,
+    sigma_t2s,
+) -> Dict[str, Any]:
+    """``remove_noise`` with the six per-jump scalars passed explicitly —
+    the general (t, s) form of ``optimizer.py:140-193`` (alpha_ts =
+    alpha_t/alpha_s etc., ``optimizer.py:153-157``), used by the strided
+    (few-step) sampler via ``StridedTables.scalars(k)``."""
     noised_frames: RigidArray = noised["frames"]
     pred_frames: RigidArray = predicted["frames"]
     rand_frames: RigidArray = random_noise["frames"]

@@ -21,7 +21,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from pmhc_tpu.diffusion.noise import gen_noise, remove_noise
+from pmhc_tpu.diffusion.noise import gen_noise, remove_noise, remove_noise_scalars
 from pmhc_tpu.diffusion.schedule import DiffusionConfig, ScheduleTables
 from pmhc_tpu.models import ScoreNetworkConfig, score_network_forward
 from pmhc_tpu.models.nn import DEFAULT_PRECISION
@@ -37,12 +37,20 @@ def sample(
     precision=DEFAULT_PRECISION,
     injected_noise: Dict[str, Any] | None = None,
     data_axis: str | None = None,
+    num_steps: int | None = None,
 ) -> Dict[str, Any]:
     """Run the full reverse diffusion from the noised state in ``batch``.
 
     ``batch["frames"]``/``batch["torsions"]`` hold the initial (pure noise)
     state; everything else (features, masks, pocket) is static context.
     Returns the batch dict with denoised frames/torsions.
+
+    ``num_steps``: reverse jumps to take (default T — the reference's full
+    chain, ``optimizer.py:236-249``). Fewer steps run the same ancestral
+    update over a strided t-grid (``StridedTables``: the reference's own
+    general (t, s) formulas, golden-tested at arbitrary strides) for a
+    ~T/num_steps sampling speedup; with ``injected_noise`` its leading
+    axis must then be [K] (jumps), not [T].
 
     ``injected_noise`` optionally bypasses the internal RNG with
     pre-generated per-step noise (a Noise pytree with a leading [T] axis,
@@ -75,8 +83,14 @@ def sample(
 
     static = {k: v for k, v in batch.items() if k not in ("frames", "torsions")}
 
+    strided = None
+    if num_steps is not None and num_steps != T:
+        from pmhc_tpu.diffusion.schedule import StridedTables, strided_timesteps
+
+        strided = StridedTables(config, strided_timesteps(T, num_steps))
+
     def step(carry, xs):
-        t, rand = xs
+        t, scalars, rand = xs
         frames, torsions = carry
         model_batch = dict(static)
         model_batch["frames"] = frames
@@ -90,23 +104,25 @@ def sample(
             rand = jax.tree_util.tree_map(
                 slice_local, gen_noise(step_key, gshape, config)
             )
-        denoised = remove_noise(
-            {"frames": frames, "torsions": torsions},
-            predicted,
-            rand,
-            t,
-            t - 1,
-            tables,
-        )
+        state = {"frames": frames, "torsions": torsions}
+        if scalars is None:
+            denoised = remove_noise(state, predicted, rand, t, t - 1, tables)
+        else:
+            denoised = remove_noise_scalars(state, predicted, rand, *scalars)
         return (denoised["frames"], denoised["torsions"]), None
 
-    ts = jnp.arange(T, 0, -1)
+    if strided is None:
+        ts = jnp.arange(T, 0, -1)
+        sc = None
+    else:
+        ts = strided.ts
+        sc = strided.scalars(jnp.arange(strided.num_jumps))
     if injected_noise is None:
-        step_fn = lambda carry, t: step(carry, (t, None))
-        xs = ts
+        step_fn = lambda carry, xs: step(carry, (xs[0], xs[1], None))
+        xs = (ts, sc)
     else:
         step_fn = step
-        xs = (ts, injected_noise)
+        xs = (ts, sc, injected_noise)
     (frames, torsions), _ = jax.lax.scan(
         step_fn, (batch["frames"], batch["torsions"]), xs
     )
@@ -123,6 +139,7 @@ def make_sample_sharded(
     mesh,
     tables: ScheduleTables | None = None,
     precision=DEFAULT_PRECISION,
+    num_steps: int | None = None,
 ):
     """Build the context-parallel sampler: the whole T-step scan runs
     inside one jitted shard_map over ``mesh`` — batch sharded on 'data',
@@ -142,7 +159,7 @@ def make_sample_sharded(
     def fn(params, batch, key):
         return sample(
             params, batch, key, config, model_config, tables, precision,
-            data_axis="data",
+            data_axis="data", num_steps=num_steps,
         )
 
     jitted = {}
@@ -169,8 +186,9 @@ def sample_sharded(
     mesh,
     tables: ScheduleTables | None = None,
     precision=DEFAULT_PRECISION,
+    num_steps: int | None = None,
 ):
     """One-shot convenience wrapper over ``make_sample_sharded``."""
-    return make_sample_sharded(config, model_config, mesh, tables, precision)(
-        params, batch, key
-    )
+    return make_sample_sharded(
+        config, model_config, mesh, tables, precision, num_steps
+    )(params, batch, key)

@@ -151,19 +151,25 @@ def _gen_noise_lane(key: jax.Array, L: int, config: DiffusionConfig):
     return quats, trans, jnp.sin(a), jnp.cos(a)
 
 
-def _remove_noise_lane(state, pred, rand, t, tables: ScheduleTables):
+def _remove_noise_lane(state, pred, rand, t, tables: ScheduleTables,
+                       scalars=None):
     """Lane-layout twin of ``noise.remove_noise`` (optimizer.py:140-193);
-    state/pred/rand are (q [4,L], t [3,L], sin [7,L], cos [7,L])."""
+    state/pred/rand are (q [4,L], t [3,L], sin [7,L], cos [7,L]).
+    ``scalars`` (the 6-tuple of ``StridedTables.scalars``) overrides the
+    s = t-1 table gathers for strided (few-step) sampling."""
     q_z, t_z, s_z, c_z = state
     q_p, t_p, s_p, c_p = pred
     q_r, t_r, s_r, c_r = rand
 
-    beta_t = tables.beta[t]
-    sigma_t = tables.sigma[t]
-    beta_s = tables.beta[t - 1]
-    alpha_ts = tables.alpha_ts[t]
-    sqr_sigma_ts = tables.sqr_sigma_ts[t]
-    sigma_t2s = tables.sigma_t2s[t]
+    if scalars is None:
+        beta_t = tables.beta[t]
+        sigma_t = tables.sigma[t]
+        beta_s = tables.beta[t - 1]
+        alpha_ts = tables.alpha_ts[t]
+        sqr_sigma_ts = tables.sqr_sigma_ts[t]
+        sigma_t2s = tables.sigma_t2s[t]
+    else:
+        beta_t, sigma_t, beta_s, alpha_ts, sqr_sigma_ts, sigma_t2s = scalars
 
     # positions: posterior mean + stochastic term (optimizer.py:164-166)
     t_out = (
@@ -205,6 +211,7 @@ def sample_lane(
     unroll: int = 4,
     g8: bool = False,
     g8_unroll: int = 1,
+    num_steps: int | None = None,
 ) -> Dict[str, Any]:
     """Full reverse diffusion with the lane-packed fused kernel, scan
     carry kept in lane layout end-to-end.
@@ -214,7 +221,10 @@ def sample_lane(
     CLI --bf16 convention). ``injected_noise`` is a Noise pytree with a
     leading [T] axis in standard layout, transposed per step (tests).
     ``g8``: run the geom8 group kernel (ops/egnn_pallas_lane_g8.py)
-    instead of the per-neighbour lane kernel — faster at bf16."""
+    instead of the per-neighbour lane kernel — faster at bf16.
+    ``num_steps``: reverse jumps (default T); fewer runs the strided
+    few-step sampler (``StridedTables``, the CLI's ``--sample-steps``) —
+    with ``injected_noise`` its leading axis is then [K]."""
     if tables is None:
         tables = ScheduleTables(config)
     if interpret is None:
@@ -377,7 +387,7 @@ def sample_lane(
         return q2, t2, s2, c2
 
     def step(carry, xs):
-        t, inj = xs
+        t, scalars, inj = xs
         pred = forward(*carry, t)
         if inj is None:
             rand = _gen_noise_lane(jax.random.fold_in(key, t), L, config)
@@ -388,7 +398,7 @@ def sample_lane(
                 n2l(inj["torsions"][..., 0]),
                 n2l(inj["torsions"][..., 1]),
             )
-        return _remove_noise_lane(carry, pred, rand, t, tables), None
+        return _remove_noise_lane(carry, pred, rand, t, tables, scalars), None
 
     torsions0 = jnp.asarray(batch["torsions"], F32)
     init = (
@@ -398,13 +408,19 @@ def sample_lane(
         n2l(torsions0[..., 1]),
     )
 
-    ts = jnp.arange(T_steps, 0, -1)
+    if num_steps is not None and num_steps != T_steps:
+        from pmhc_tpu.diffusion.schedule import StridedTables, strided_timesteps
+
+        st = StridedTables(config, strided_timesteps(T_steps, num_steps))
+        ts, sc = st.ts, st.scalars(jnp.arange(st.num_jumps))
+    else:
+        ts, sc = jnp.arange(T_steps, 0, -1), None
     if injected_noise is None:
-        step_fn = lambda carry, t: step(carry, (t, None))
-        xs = ts
+        step_fn = lambda carry, xs: step(carry, (xs[0], xs[1], None))
+        xs = (ts, sc)
     else:
         step_fn = step
-        xs = (ts, injected_noise)
+        xs = (ts, sc, injected_noise)
     (q, t_lane, s_lane, c_lane), _ = lax.scan(step_fn, init, xs)
 
     from pmhc_tpu.geometry import RigidArray

@@ -86,3 +86,73 @@ class ScheduleTables:
         """(beta, alpha, sigma) at (possibly traced) timestep t.
         Mirrors ``optimizer.py:81-91``."""
         return self.beta[t], self.alpha[t], self.sigma[t]
+
+
+def strided_timesteps(T: int, num_steps: int) -> np.ndarray:
+    """Descending timestep grid T = t_0 > t_1 > ... > t_K = 0.
+
+    ``num_steps`` is the number of reverse jumps (model evaluations);
+    ``num_steps == T`` reproduces the reference's full chain T, T-1, ..., 0.
+    Grid points are evenly spaced in t and deduplicated, so K may come out
+    slightly below ``num_steps`` for non-divisors.
+    """
+    if not 1 <= num_steps <= T:
+        raise ValueError(f"num_steps must be in [1, {T}], got {num_steps}")
+    ts = np.unique(np.round(np.linspace(0.0, T, num_steps + 1)).astype(np.int64))
+    return ts[::-1].copy()
+
+
+class StridedTables:
+    """Per-jump reverse-step scalars for an arbitrary descending t-grid.
+
+    Generalizes ``ScheduleTables``'s s = t-1 pairing: the reference's
+    ``remove_noise`` derivation (``optimizer.py:153-157``) is parameterized
+    by arbitrary (t, s) — alpha_ts = alpha_t/alpha_s, sigma_ts^2 =
+    sigma_t^2 - sigma_s^2 * alpha_ts, sigma_t2s = sigma_ts * sigma_s /
+    sigma_t — and the reference only ever calls it with s = t-1
+    (``optimizer.py:243``). Evaluating the same formulas on a strided grid
+    yields the few-step ancestral sampler (``--sample-steps``): T/K fewer
+    model forwards per trajectory. Scalars are computed in float64 on the
+    host (like ``ScheduleTables``) and stored as f32 [K] device tables
+    indexed by the jump number k; ``ts[k]`` is the model-evaluation
+    timestep of jump k (t_0 = T preserves the t = T quirk, SURVEY.md
+    §3.5.2).
+    """
+
+    def __init__(self, config: DiffusionConfig, ts: np.ndarray):
+        ts = np.asarray(ts, np.int64)
+        T = config.noise_step_count
+        if ts[0] != T or ts[-1] != 0 or np.any(np.diff(ts) >= 0):
+            raise ValueError(
+                f"ts must descend from T={T} to 0, got {ts[:3]}..{ts[-3:]}"
+            )
+        frac = ts.astype(np.float64) / T
+        if config.schedule == "pow":
+            frac = frac ** config.schedule_pow
+        beta = config.beta_min + (config.beta_max - config.beta_min) * frac
+        alpha = np.sqrt(1.0 - beta)
+        sigma = np.sqrt(beta)
+
+        # jump k: t = ts[k] (model eval), s = ts[k+1]
+        alpha_ts = alpha[:-1] / alpha[1:]
+        sqr_sigma_ts = sigma[:-1] ** 2 - sigma[1:] ** 2 * alpha_ts
+        sigma_ts = np.sqrt(np.maximum(sqr_sigma_ts, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma_t2s = sigma_ts * sigma[1:] / np.where(
+                sigma[:-1] > 0, sigma[:-1], 1.0
+            )
+
+        self.num_jumps = len(ts) - 1
+        self.ts = jnp.asarray(ts[:-1], jnp.int32)
+        self.beta_t = jnp.asarray(beta[:-1], jnp.float32)
+        self.sigma_t = jnp.asarray(sigma[:-1], jnp.float32)
+        self.beta_s = jnp.asarray(beta[1:], jnp.float32)
+        self.alpha_ts = jnp.asarray(alpha_ts, jnp.float32)
+        self.sqr_sigma_ts = jnp.asarray(sqr_sigma_ts, jnp.float32)
+        self.sigma_t2s = jnp.asarray(sigma_t2s, jnp.float32)
+
+    def scalars(self, k):
+        """The 6 reverse-step scalars of jump k (traced OK), in
+        ``remove_noise_scalars`` argument order."""
+        return (self.beta_t[k], self.sigma_t[k], self.beta_s[k],
+                self.alpha_ts[k], self.sqr_sigma_ts[k], self.sigma_t2s[k])

@@ -134,6 +134,33 @@ def test_sample_cli_multibatch_pipeline(data_dir, tmp_path):
         assert len(atom_lines) > 50 and np.isfinite(coords).all()
 
 
+def test_sample_cli_strided_steps(data_dir, tmp_path):
+    """--sample-steps K < T: the strided few-step sampler writes valid,
+    finite PDBs end-to-end."""
+    from pmhc_tpu.cli.sample_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    assert os.path.isfile(model_path), "train smoke must run first"
+    out_dir = str(tmp_path / "sampled_strided")
+    main([
+        model_path, str(data_dir / "test.hdf5"),
+        "-T", "16", "--sample-steps", "4", "--batch-size", "2",
+        "--output-dir", out_dir,
+    ])
+    pdbs = sorted(os.listdir(out_dir))
+    assert pdbs == ["SYN0000.pdb", "SYN0001.pdb"]
+    for p in pdbs:
+        atom_lines = [
+            l for l in open(os.path.join(out_dir, p)).read().splitlines()
+            if l.startswith("ATOM")
+        ]
+        coords = np.array(
+            [[float(l[30:38]), float(l[38:46]), float(l[46:54])]
+             for l in atom_lines]
+        )
+        assert len(atom_lines) > 50 and np.isfinite(coords).all()
+
+
 def test_train_cli_bf16(data_dir, tmp_path):
     from pmhc_tpu.cli.train_cli import main
 

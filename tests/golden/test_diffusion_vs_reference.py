@@ -22,9 +22,11 @@ from openfold.utils.rigid_utils import Rigid, Rotation  # noqa: E402
 from pmhc_tpu.diffusion import (  # noqa: E402
     DiffusionConfig,
     ScheduleTables,
+    StridedTables,
     add_noise,
     diffusion_loss,
     remove_noise,
+    remove_noise_scalars,
 )
 from pmhc_tpu.geometry import RigidArray, quat_to_rot  # noqa: E402
 
@@ -110,6 +112,46 @@ def test_remove_noise_parity(t, monkeypatch):
 
     ours = remove_noise(
         _to_ours(noised), _to_ours(predicted), _to_ours(rand), t, t - 1, tables
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ours["frames"].trans),
+        theirs["frames"].get_trans().numpy(),
+        atol=3e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["torsions"]), theirs["torsions"].numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(quat_to_rot(ours["frames"].quats)),
+        theirs["frames"].get_rots().get_rot_mats().numpy(),
+        atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("t,s", [(1000, 990), (1000, 500), (750, 500),
+                                 (500, 499), (10, 0)])
+def test_remove_noise_strided_parity(t, s, monkeypatch):
+    """The strided (few-step) sampler's per-jump scalars reproduce the
+    reference's own ``remove_noise`` called with an arbitrary (t, s) pair
+    (``optimizer.py:140-193`` is general in s; the reference only ever
+    passes s = t-1 at ``optimizer.py:243``)."""
+    noised, predicted, rand = _state(), _state(), _state()
+    cfg = DiffusionConfig()
+
+    pts = sorted({T, t, s, 0}, reverse=True)
+    st = StridedTables(cfg, np.array(pts))
+    k = pts.index(t)
+
+    monkeypatch.setattr(
+        DiffusionModelOptimizer,
+        "gen_noise",
+        staticmethod(lambda shape, device: _to_ref(rand)),
+    )
+    theirs = _ref_dmo().remove_noise(_to_ref(noised), _to_ref(predicted), t, s)
+
+    ours = remove_noise_scalars(
+        _to_ours(noised), _to_ours(predicted), _to_ours(rand), *st.scalars(k)
     )
 
     np.testing.assert_allclose(

@@ -115,3 +115,42 @@ def test_lane_sampler_g8_batch_grid_matches_generic():
     np.testing.assert_allclose(
         np.asarray(lane["torsions"]),
         np.asarray(generic["torsions"]), atol=2e-4)
+
+
+@pytest.mark.parametrize("g8", [False, True])
+def test_lane_sampler_strided_matches_generic(g8):
+    """--sample-steps path: the lane sampler's strided scan matches the
+    generic strided sampler with identical injected per-jump noise."""
+    from pmhc_tpu.diffusion import strided_timesteps
+
+    model_config = ScoreNetworkConfig(
+        noise_step_count=CONFIG.noise_step_count, backend="pallas_lane",
+        lane_block=128,
+    )
+    params = init_score_network(jax.random.key(2), model_config)
+    batch = _noised_batch(jax.random.key(11))
+    tables = ScheduleTables(CONFIG)
+
+    K = 2
+    n_jumps = len(strided_timesteps(CONFIG.noise_step_count, K)) - 1
+    keys = jax.random.split(jax.random.key(13), n_jumps)
+    inj = jax.vmap(lambda k: gen_noise(k, batch["frames"].shape, CONFIG))(keys)
+
+    generic = sample(
+        params, batch, jax.random.key(0), CONFIG, model_config, tables,
+        injected_noise=inj, num_steps=K,
+    )
+    lane = sample_lane(
+        params, batch, jax.random.key(0), CONFIG, model_config, tables,
+        injected_noise=inj, interpret=True, g8=g8, num_steps=K,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(lane["frames"].quats),
+        np.asarray(generic["frames"].quats), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lane["frames"].trans),
+        np.asarray(generic["frames"].trans), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(lane["torsions"]),
+        np.asarray(generic["torsions"]), atol=2e-4)

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("-T", type=int, default=1000)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backends", default="xla,lane_scan,g8_scan")
+    ap.add_argument("--sample-steps", type=int, default=None,
+                    help="strided few-step sampling (default: full T)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MXU matmuls for the MLPs (geometry stays f32)")
     ap.add_argument("--fast-f32", action="store_true",
@@ -73,11 +75,13 @@ def main():
             g8u = int(os.environ.get("PMHC_G8_FWD_UNROLL", "1"))
             run = jax.jit(
                 lambda p, b, k, _g8=(backend == "g8_scan"): sample_lane(
-                    p, b, k, dc, mc, precision=prec, g8=_g8, g8_unroll=g8u)
+                    p, b, k, dc, mc, precision=prec, g8=_g8, g8_unroll=g8u,
+                    num_steps=args.sample_steps)
             )
         else:
             run = jax.jit(
-                lambda p, b, k: sample(p, b, k, dc, mc, precision=prec)
+                lambda p, b, k: sample(p, b, k, dc, mc, precision=prec,
+                                       num_steps=args.sample_steps)
             )
 
         import numpy as np

@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("-T", type=int, default=1000)
     ap.add_argument("--batch-size", "-b", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sample-steps", type=int, default=None,
+                    help="strided few-step sampling (default: full T)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,7 +48,8 @@ def main(argv=None):
     dataset = PmhcDataset(args.hdf5)
     loader = PrefetchLoader(dataset, batch_size=args.batch_size)
 
-    run = jax.jit(lambda b, k: sample(params, b, k, dc, mc, tables))
+    run = jax.jit(lambda b, k: sample(
+        params, b, k, dc, mc, tables, num_steps=args.sample_steps))
 
     def masked_rmsd(pred_trans, true_trans, mask):
         sq = np.sum((pred_trans - true_trans) ** 2, axis=-1) * mask
@@ -77,6 +80,7 @@ def main(argv=None):
     report = {
         "entries": len(names),
         "T": args.T,
+        "sample_steps": args.sample_steps or args.T,
         "mean_backbone_rmsd": round(float(np.mean(rmsds)), 3),
         "mean_pure_noise_rmsd": round(float(np.mean(noise_rmsds)), 3),
         "per_entry": {n: round(r, 3) for n, r in zip(names, rmsds)},
