@@ -166,7 +166,8 @@ def bench_ours(precision_name: str = None, backend: str = None) -> float:
     return best
 
 
-def bench_sampler(batch_size: int = None, bf16: bool = False) -> float:
+def bench_sampler(batch_size: int = None, bf16: bool = False,
+                 num_steps: int = None) -> float:
     """Secondary metric: full T=1000 reverse-diffusion samples/sec.
 
     Default shape: batch 64, f32, lane-packed fused kernel (measured
@@ -203,10 +204,12 @@ def bench_sampler(batch_size: int = None, bf16: bool = False) -> float:
             from pmhc_tpu.diffusion.sampler_lane import sample_lane
 
             fn = lambda p, b, k: sample_lane(
-                p, b, k, dc, mc, precision=prec, g8=(backend == "g8")
+                p, b, k, dc, mc, precision=prec, g8=(backend == "g8"),
+                num_steps=num_steps,
             )
         else:
-            fn = lambda p, b, k: sample(p, b, k, dc, mc, precision=prec)
+            fn = lambda p, b, k: sample(p, b, k, dc, mc, precision=prec,
+                                        num_steps=num_steps)
         return params, jax.jit(fn)
 
     used = "g8" if bf16 else "pallas_lane"
@@ -367,6 +370,14 @@ def _measure_child(queue):
             result["sampler_bf16"] = None
         queue.put(dict(result))
         try:
+            # strided few-step sampling (--sample-steps 50): the serving
+            # throughput mode (quality flat to K=25, docs/parity.md)
+            result["sampler_strided"], _ = bench_sampler(
+                batch_size=1024, bf16=True, num_steps=50)
+        except Exception:
+            result["sampler_strided"] = None
+        queue.put(dict(result))
+        try:
             # secondary axes (skipped silently if a compile ever fails):
             # the bf16 train config on the g8 backend (the fastest bf16
             # trainer) and the 3-pass-f32 config on pallas_lane
@@ -442,6 +453,13 @@ def main():
                 "value": round(result["sampler_bf16"], 2),
                 "unit": "samples/s (T=1000, bf16, batch 1024, backend "
                         f"{result.get('sampler_bf16_backend', '?')})",
+            }))
+        if result.get("sampler_strided") is not None:
+            print(json.dumps({
+                "metric": "sample_throughput_strided_k50",
+                "value": round(result["sampler_strided"], 2),
+                "unit": "samples/s (--sample-steps 50 of T=1000, bf16, "
+                        "batch 1024, backend g8)",
             }))
         if result.get("bf16") is not None:
             print(json.dumps({

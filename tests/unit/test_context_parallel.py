@@ -407,3 +407,34 @@ def test_sample_sharded_matches_dense(backend):
         atol=5e-5)
     np.testing.assert_allclose(
         np.asarray(out["torsions"]), np.asarray(dense["torsions"]), atol=2e-4)
+
+
+def test_sample_sharded_strided_matches_dense():
+    """--sample-steps through the CP sampler: bit-compatible with the
+    dense strided sampler on the same global batch and key."""
+    dc = DiffusionConfig(noise_step_count=8)
+    batch = prepare_batch(synthetic_batch(batch_size=8, seed=5))
+    noise = gen_noise(jax.random.key(1), batch["frames"].shape, dc)
+    batch["frames"] = noise["frames"]
+    batch["torsions"] = noise["torsions"]
+    params = init_score_network(jax.random.key(0), CONFIG)
+    key = jax.random.key(2)
+
+    dense_cfg = ScoreNetworkConfig(noise_step_count=dc.noise_step_count)
+    dense = jax.jit(
+        lambda p, b, k: sample(p, b, k, dc, dense_cfg, num_steps=3)
+    )(params, batch, key)
+
+    mesh = make_mesh(n_data=2, n_context=4)
+    cp_cfg = ScoreNetworkConfig(
+        noise_step_count=dc.noise_step_count, backend="cp")
+    out = sample_sharded(params, batch, key, dc, cp_cfg, mesh, num_steps=3)
+
+    np.testing.assert_allclose(
+        np.asarray(out["frames"].trans), np.asarray(dense["frames"].trans),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["frames"].quats), np.asarray(dense["frames"].quats),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["torsions"]), np.asarray(dense["torsions"]), atol=2e-4)
