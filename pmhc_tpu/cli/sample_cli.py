@@ -65,6 +65,12 @@ def build_parser() -> ArgumentParser:
                    help="check the HDF5 against the SwiftMHC schema before "
                         "sampling and abort with actionable messages on "
                         "drift (pmhc_tpu.data.validate)")
+    p.add_argument("--num-samples", type=int, default=1,
+                   help="conformations to sample per entry (default 1, the "
+                        "reference behavior). N > 1 re-runs the compiled "
+                        "sampler with independent noise per sample and "
+                        "writes <name>.1.pdb ... <name>.N.pdb — amortizes "
+                        "the HDF5 decode and jit setup across samples")
     p.add_argument("--sample-steps", type=int, default=None,
                    help="reverse-diffusion jumps per trajectory (default: "
                         "T, the reference's full chain). Fewer steps run "
@@ -217,25 +223,32 @@ def main(argv=None) -> None:
                 )
                 for k, v in batch.items()
             }
-        model_batch = prepare_batch(batch)
-        model_batch["aatype"] = jnp.asarray(batch["aatype"])
+        base_batch = prepare_batch(batch)
+        base_batch["aatype"] = jnp.asarray(batch["aatype"])
+        protein = dataset.get_protein_positions(names)
 
-        # replace the peptide state by pure noise (test.py:70-74)
-        key, noise_key, sample_key = jax.random.split(key, 3)
-        noise = gen_noise(noise_key, model_batch["frames"].shape, diffusion_config)
-        model_batch["frames"] = noise["frames"]
-        model_batch["torsions"] = noise["torsions"]
+        for si in range(args.num_samples):
+            # replace the peptide state by pure noise (test.py:70-74);
+            # each sample gets an independent init + trajectory key
+            key, noise_key, sample_key = jax.random.split(key, 3)
+            model_batch = dict(base_batch)
+            noise = gen_noise(
+                noise_key, base_batch["frames"].shape, diffusion_config
+            )
+            model_batch["frames"] = noise["frames"]
+            model_batch["torsions"] = noise["torsions"]
 
-        pred_batch = run_sample(model_batch, sample_key)
-        pred_batch = dict(pred_batch)
-        pred_batch.update(dataset.get_protein_positions(names))
-        # queue the batch-level atom conversion behind this batch's
-        # sampler, then write the PREVIOUS batch's PDBs while the device
-        # works — host serialization overlaps device sampling
-        conv = convert_batch_for_pdb(pred_batch)
-        if pending is not None:
-            write_batch(*pending)
-        pending = (conv, names)
+            pred_batch = dict(run_sample(model_batch, sample_key))
+            pred_batch.update(protein)
+            # queue the batch-level atom conversion behind this batch's
+            # sampler, then write the PREVIOUS batch's PDBs while the
+            # device works — host serialization overlaps device sampling
+            conv = convert_batch_for_pdb(pred_batch)
+            if pending is not None:
+                write_batch(*pending)
+            out_names = (names if args.num_samples == 1
+                         else [f"{n}.{si + 1}" for n in names])
+            pending = (conv, out_names)
     if pending is not None:
         write_batch(*pending)
     _log.info("wrote PDB files to %s", output_path)

@@ -134,6 +134,35 @@ def test_sample_cli_multibatch_pipeline(data_dir, tmp_path):
         assert len(atom_lines) > 50 and np.isfinite(coords).all()
 
 
+def test_sample_cli_num_samples(data_dir, tmp_path):
+    """--num-samples N writes N distinct conformations per entry as
+    <name>.1.pdb ... <name>.N.pdb."""
+    from pmhc_tpu.cli.sample_cli import main
+
+    model_path = str(data_dir / "model.pth")
+    assert os.path.isfile(model_path), "train smoke must run first"
+    out_dir = str(tmp_path / "sampled_multi")
+    main([
+        model_path, str(data_dir / "test.hdf5"),
+        "-T", "4", "--batch-size", "2", "--num-samples", "2",
+        "--output-dir", out_dir,
+    ])
+    pdbs = sorted(os.listdir(out_dir))
+    assert pdbs == ["SYN0000.1.pdb", "SYN0000.2.pdb",
+                    "SYN0001.1.pdb", "SYN0001.2.pdb"]
+
+    def coords(p):
+        lines = [l for l in open(os.path.join(out_dir, p)).read().splitlines()
+                 if l.startswith("ATOM")]
+        return np.array([[float(l[30:38]), float(l[38:46]), float(l[46:54])]
+                         for l in lines])
+
+    c1, c2 = coords(pdbs[0]), coords(pdbs[1])
+    assert np.isfinite(c1).all() and np.isfinite(c2).all()
+    # independent noise -> distinct conformations of the same entry
+    assert not np.allclose(c1, c2)
+
+
 def test_sample_cli_strided_steps(data_dir, tmp_path):
     """--sample-steps K < T: the strided few-step sampler writes valid,
     finite PDBs end-to-end."""
