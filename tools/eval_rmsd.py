@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sample-steps", type=int, default=None,
                     help="strided few-step sampling (default: full T)")
+    ap.add_argument("--backend", default="xla",
+                    choices=("xla", "pallas_lane", "g8"))
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -40,7 +43,10 @@ def main(argv=None):
     from pmhc_tpu.models import ScoreNetworkConfig, import_torch_checkpoint
     from pmhc_tpu.train.trainer import prepare_batch
 
-    mc = ScoreNetworkConfig(noise_step_count=args.T)
+    mc = ScoreNetworkConfig(
+        noise_step_count=args.T,
+        backend="pallas_lane" if args.backend == "g8" else args.backend,
+    )
     dc = DiffusionConfig(noise_step_count=args.T)
     tables = ScheduleTables(dc)
     params = import_torch_checkpoint(args.model)
@@ -48,8 +54,19 @@ def main(argv=None):
     dataset = PmhcDataset(args.hdf5)
     loader = PrefetchLoader(dataset, batch_size=args.batch_size)
 
-    run = jax.jit(lambda b, k: sample(
-        params, b, k, dc, mc, tables, num_steps=args.sample_steps))
+    from pmhc_tpu.models.nn import DEFAULT_PRECISION
+
+    prec = None if args.bf16 else DEFAULT_PRECISION
+    if args.backend in ("pallas_lane", "g8"):
+        from pmhc_tpu.diffusion.sampler_lane import sample_lane
+
+        run = jax.jit(lambda b, k: sample_lane(
+            params, b, k, dc, mc, tables, precision=prec,
+            g8=args.backend == "g8", num_steps=args.sample_steps))
+    else:
+        run = jax.jit(lambda b, k: sample(
+            params, b, k, dc, mc, tables, precision=prec,
+            num_steps=args.sample_steps))
 
     def masked_rmsd(pred_trans, true_trans, mask):
         sq = np.sum((pred_trans - true_trans) ** 2, axis=-1) * mask
@@ -81,6 +98,7 @@ def main(argv=None):
         "entries": len(names),
         "T": args.T,
         "sample_steps": args.sample_steps or args.T,
+        "backend": args.backend + (" bf16" if args.bf16 else " f32"),
         "mean_backbone_rmsd": round(float(np.mean(rmsds)), 3),
         "mean_pure_noise_rmsd": round(float(np.mean(noise_rmsds)), 3),
         "per_entry": {n: round(r, 3) for n, r in zip(names, rmsds)},
