@@ -49,20 +49,85 @@ def _normalize(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(n, 1e-12)
 
 
-def _atom_record(serial, name, resname, chain, resseq, pos, element) -> str:
-    # columns per PDBIO's _ATOM_FORMAT_STRING; occupancy 1.00 / bfactor
-    # 0.00 like the reference's Atom(..., 0.0, 1.0, ...); segid = chain id
-    # (the reference passes chain.id as Residue segid, ref pdb.py:102,185)
-    name_field = (" " + name).ljust(4)[:4] if len(name) < 4 else name[:4]
-    return (
-        f"ATOM  {serial:>5} {name_field} {resname:>3} {chain}{resseq:>4}    "
-        f"{pos[0]:8.3f}{pos[1]:8.3f}{pos[2]:8.3f}{1.0:6.2f}{0.0:6.2f}"
-        f"      {chain:>4}{element:>2}  \n"
-    )
-
-
 def _ter_record(serial, resname, chain, resseq) -> str:
     return f"TER   {serial:>5}      {resname:>3} {chain}{resseq:>4} ".ljust(80) + "\n"
+
+
+_NAME_FIELD_CACHE: Dict[str, tuple] = {}
+
+
+def _name_fields(name: str):
+    """(4-byte name field, 2-byte element field) as packed bytes —
+    PDBIO's _ATOM_FORMAT_STRING padding rules (short names get a leading
+    space then left-justify to 4; element is name[0] right-justified)."""
+    hit = _NAME_FIELD_CACHE.get(name)
+    if hit is None:
+        field = (" " + name).ljust(4)[:4] if len(name) < 4 else name[:4]
+        hit = (np.frombuffer(field.encode(), np.uint8),
+               np.frombuffer(f"{name[0]:>2}".encode(), np.uint8))
+        _NAME_FIELD_CACHE[name] = hit
+    return hit
+
+
+def _build_atom14_tables():
+    """Static per-(restype, atom14 slot) record fields for the vectorized
+    chain-M emit: every column of an ATOM record except serial/resseq/
+    coords is a function of (restype, slot) alone."""
+    R = len(rc.restypes)
+    names4 = np.full((R, 14, 4), ord(" "), np.uint8)
+    elems2 = np.full((R, 14, 2), ord(" "), np.uint8)
+    valid = np.zeros((R, 14), bool)
+    res3 = np.zeros((R, 3), np.uint8)
+    for r, rt in enumerate(rc.restypes):
+        aa = rc.restype_1to3[rt]
+        res3[r] = np.frombuffer(f"{aa:>3}".encode(), np.uint8)
+        for s, name in enumerate(rc.restype_name_to_atom14_names[aa]):
+            if not name.strip():
+                continue
+            names4[r, s], elems2[r, s] = _name_fields(name)
+            valid[r, s] = True
+    return names4, elems2, valid, res3
+
+
+_A14_NAMES4, _A14_ELEMS2, _A14_VALID, _RES3 = _build_atom14_tables()
+
+
+def _emit_atoms(serial_start: int, chain: str, names4, resnames3, elements2,
+                resseqs, xyz) -> bytes:
+    """All ATOM records of one chain as bytes, from packed field arrays
+    (names4 [n,4] u8, resnames3 [n,3] u8, elements2 [n,2] u8, resseqs
+    int, xyz f64 [n,3]). Native snprintf formatter when available
+    (csrc/pdb_formatter.cc — the CLI's profiled host wall was f-string
+    formatting at ~6.8 ms/entry); pure-Python fallback otherwise or when
+    PMHC_PDB_FORMATTER=python. Both paths are byte-identical
+    (tests/unit/test_pdb_native_formatter.py)."""
+    import os
+
+    n = len(resseqs)
+    serials = np.arange(serial_start + 1, serial_start + n + 1, dtype=np.int32)
+    xyz = np.asarray(xyz, np.float64)
+    if os.environ.get("PMHC_PDB_FORMATTER") != "python":
+        from pmhc_tpu.io import pdb_native
+
+        blob = pdb_native.format_atoms(
+            serials, np.asarray(resseqs, np.int32), chain,
+            np.asarray(names4), np.asarray(resnames3),
+            np.asarray(elements2), xyz,
+        )
+        if blob is not None:
+            return blob
+    nm = np.asarray(names4).tobytes().decode()
+    rs = np.asarray(resnames3).tobytes().decode()
+    el = np.asarray(elements2).tobytes().decode()
+    sq = resseqs.tolist() if hasattr(resseqs, "tolist") else list(resseqs)
+    ch4 = f"{chain:>4}"
+    lines = [
+        f"ATOM  {k:>5} {nm[4*j:4*j+4]} {rs[3*j:3*j+3]} {chain}{sq[j]:>4}    "
+        f"{xyz[j, 0]:8.3f}{xyz[j, 1]:8.3f}{xyz[j, 2]:8.3f}"
+        f"  1.00  0.00      {ch4}{el[2*j:2*j+2]}  \n"
+        for j, k in enumerate(range(serial_start + 1, serial_start + n + 1))
+    ]
+    return "".join(lines).encode()
 
 
 def convert_batch_for_pdb(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -158,7 +223,6 @@ def save_pdb(
         )
         return m @ np.asarray(p, dtype=np.float64) + trans[i]
 
-    lines = []
     serial = 0
     atom_pos: Dict[tuple, np.ndarray] = {}
     residue_atoms: Dict[int, list] = {}
@@ -211,36 +275,54 @@ def save_pdb(
     # emit chain P in residue order, renumbering atoms sequentially in
     # file order (PDBIO renumbers; creation order only fixes the
     # WITHIN-residue ordering, exactly as the reference's res.add calls do)
-    out_serial = 0
+    parts = []
+    p_names4, p_elems2, p_res3, p_resseq, p_xyz = [], [], [], [], []
     last = None
     for i in sorted(residue_atoms):
         aa_name = rc.restype_1to3[rc.restypes[int(aatype[i])]]
+        res3 = np.frombuffer(f"{aa_name:>3}".encode(), np.uint8)
         for _, name, pos in residue_atoms[i]:
-            out_serial += 1
-            lines.append(_atom_record(out_serial, name, aa_name, "P", i + 1, pos, name[0]))
+            nf, ef = _name_fields(name)
+            p_names4.append(nf)
+            p_elems2.append(ef)
+            p_res3.append(res3)
+            p_resseq.append(i + 1)
+            p_xyz.append(np.asarray(pos, np.float64))
         last = (aa_name, i + 1)
+    out_serial = len(p_resseq)
+    if out_serial:
+        parts.append(_emit_atoms(
+            0, "P", np.stack(p_names4), np.stack(p_res3),
+            np.stack(p_elems2), np.asarray(p_resseq, np.int32),
+            np.stack(p_xyz),
+        ))
     if last is not None:
         # PDBIO quirk: the TER serial (= last atom + 1) is SHARED with the
         # next chain's first atom — the counter does not advance for TER
-        lines.append(_ter_record(out_serial + 1, last[0], "P", last[1]))
+        parts.append(_ter_record(out_serial + 1, last[0], "P", last[1]).encode())
 
-    # chain M: the full protein from stored atom14 (pdb.py:178-204)
-    p_aatype = pc["protein_aatype"][b]
+    # chain M: the full protein from stored atom14 (pdb.py:178-204),
+    # vectorized: np.nonzero's row-major order IS the per-residue
+    # per-slot loop order, and every record column except serial/resseq/
+    # coords is static per (restype, slot) (_build_atom14_tables)
+    p_aatype = pc["protein_aatype"][b].astype(np.int64)
     p_pos = pc["protein_atom14_positions"][b]
     p_exists = pc["protein_atom14_exists"][b]
-    last = None
-    for ri in range(p_aatype.shape[0]):
-        aa_name = rc.restype_1to3[rc.restypes[int(p_aatype[ri])]]
-        for ai, atom_name in enumerate(rc.restype_name_to_atom14_names[aa_name]):
-            if p_exists[ri, ai] and atom_name.strip():
-                out_serial += 1
-                lines.append(
-                    _atom_record(out_serial, atom_name, aa_name, "M", ri + 1, p_pos[ri, ai], atom_name[0])
-                )
-        last = (aa_name, ri + 1)
-    if last is not None:
-        lines.append(_ter_record(out_serial + 1, last[0], "M", last[1]))
-    lines.append("END\n")
+    n_pres = p_aatype.shape[0]
+    if n_pres:
+        ri, ai = np.nonzero(p_exists & _A14_VALID[p_aatype])
+        if ri.size:
+            parts.append(_emit_atoms(
+                out_serial, "M", _A14_NAMES4[p_aatype[ri], ai],
+                _RES3[p_aatype[ri]], _A14_ELEMS2[p_aatype[ri], ai],
+                (ri + 1).astype(np.int32),
+                p_pos[ri, ai].astype(np.float64),
+            ))
+            out_serial += int(ri.size)
+        last_m = rc.restype_1to3[rc.restypes[int(p_aatype[-1])]]
+        parts.append(
+            _ter_record(out_serial + 1, last_m, "M", n_pres).encode())
+    parts.append(b"END\n")
 
-    with open(path, "w") as f:
-        f.writelines(lines)
+    with open(path, "wb") as f:
+        f.writelines(parts)
