@@ -29,17 +29,93 @@ _MLP_NAMES = {
 }
 
 
+def _load_state_dict_no_torch(path: str) -> Dict[str, np.ndarray]:
+    """Parse a torch-zip .pth state_dict WITHOUT importing torch.
+
+    Importing torch costs ~3.6 s of interpreter start — a measurable
+    share of the sampling CLI's warm wall now that device sampling is
+    sub-second (--sample-steps). The zip layout is stable public
+    format: ``<prefix>/data.pkl`` pickles the dict with tensors as
+    persistent-id references into ``<prefix>/data/<key>`` raw buffers.
+    A restricted Unpickler admits only the three globals the format
+    needs (safer than a general pickle load); anything else — legacy
+    non-zip files, non-contiguous or exotic-dtype tensors, big-endian
+    saves — raises and the caller falls back to ``torch.load``.
+    """
+    import io
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    pkl_name = next(n for n in zf.namelist() if n.endswith("/data.pkl"))
+    prefix = pkl_name[: -len("data.pkl")]
+    try:
+        if zf.read(prefix + "byteorder").decode() != "little":
+            raise pickle.UnpicklingError("big-endian save")
+    except KeyError:
+        pass  # older saves omit the member; they are little-endian
+
+    dtypes = {
+        "FloatStorage": np.float32, "DoubleStorage": np.float64,
+        "HalfStorage": np.float16, "LongStorage": np.int64,
+        "IntStorage": np.int32, "BoolStorage": np.bool_,
+    }
+
+    class _Storage:
+        def __init__(self, dtype, key):
+            self.dtype, self.key = dtype, key
+
+    def rebuild_tensor_v2(storage, offset, size, stride, *_ignored):
+        data = np.frombuffer(
+            zf.read(prefix + "data/" + storage.key), storage.dtype
+        )
+        acc, expect = 1, []
+        for s in reversed(size):
+            expect.insert(0, acc)
+            acc *= s
+        if tuple(stride) != tuple(expect):
+            raise pickle.UnpicklingError("non-contiguous tensor")
+        n = int(np.prod(size)) if size else 1
+        return data[offset:offset + n].reshape(size).copy()
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if (module, name) == ("torch._utils", "_rebuild_tensor_v2"):
+                return rebuild_tensor_v2
+            if (module, name) == ("collections", "OrderedDict"):
+                import collections
+
+                return collections.OrderedDict
+            if module == "torch" and name.endswith("Storage"):
+                return name  # marker consumed by persistent_load
+            raise pickle.UnpicklingError(f"refusing {module}.{name}")
+
+        def persistent_load(self, pid):
+            typ, storage_type, key, _location, _numel = pid
+            name = (storage_type if isinstance(storage_type, str)
+                    else getattr(storage_type, "__name__", str(storage_type)))
+            if typ != "storage" or name not in dtypes:
+                raise pickle.UnpicklingError(f"unsupported pid {typ}/{name}")
+            return _Storage(np.dtype(dtypes[name]), key)
+
+    return dict(_Unpickler(io.BytesIO(zf.read(pkl_name))).load())
+
+
 def import_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference-format .pth state_dict into a params pytree."""
-    import torch
+    try:
+        state = _load_state_dict_no_torch(path)
+    except Exception:
+        import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=True)
+        state = torch.load(path, map_location="cpu", weights_only=True)
     params: Dict[str, Any] = {}
     for key, tensor in state.items():
         layer_name, mlp_name, seq_idx, kind = key.split(".")
         mlp_key = _MLP_NAMES[mlp_name]
         lin_key = {"0": "lin1", "2": "lin2"}[seq_idx]
-        value = tensor.detach().numpy().astype(np.float32)
+        value = (tensor.detach().numpy() if hasattr(tensor, "detach")
+                 else np.asarray(tensor)).astype(np.float32)
         if kind == "weight":
             leaf_name, value = "w", value.T
         else:
