@@ -46,7 +46,7 @@ def _load_state_dict_no_torch(path: str) -> Dict[str, np.ndarray]:
     import pickle
     import zipfile
 
-    zf = zipfile.ZipFile(path)
+    zf = zipfile.ZipFile(path)  # closed in the finally below
     pkl_name = next(n for n in zf.namelist() if n.endswith("/data.pkl"))
     prefix = pkl_name[: -len("data.pkl")]
     try:
@@ -98,7 +98,10 @@ def _load_state_dict_no_torch(path: str) -> Dict[str, np.ndarray]:
                 raise pickle.UnpicklingError(f"unsupported pid {typ}/{name}")
             return _Storage(np.dtype(dtypes[name]), key)
 
-    return dict(_Unpickler(io.BytesIO(zf.read(pkl_name))).load())
+    try:
+        return dict(_Unpickler(io.BytesIO(zf.read(pkl_name))).load())
+    finally:
+        zf.close()
 
 
 def import_torch_checkpoint(path: str) -> Dict[str, Any]:
