@@ -271,8 +271,8 @@ def sample_lane(
     r2l = lambda x: nbr_to_lane_bg(x, Bp, nch)
 
     # ---- static context, transposed once ------------------------------
-    w1 = pack_lane_weights(params["gnn1"], H1)
-    w2 = pack_lane_weights(params["gnn2"], H2)
+    w1 = pack_lane_weights(params["gnn1"], H1, N + P)
+    w2 = pack_lane_weights(params["gnn2"], H2, N + P)
     edge3_1 = lane_edge3(relpos_edge_pre(params["gnn1"], N), P)
     edge3_2 = lane_edge3(relpos_edge_pre(params["gnn2"], N), P)
     mask_t = lane_msg_mask_bg(mask, batch["pocket_mask"], Bp, nch)

@@ -216,11 +216,10 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
         # weights (transposed, constant across grid)
         wmi_ref,      # [T, H]   message W1 rows for h_i
         bm1_ref,      # [T, 1]
-        wm2_ref, bm2_ref,          # [M, T], [M, 1]
-        wheads_ref,   # [4T, M]  fused [att; rot; tor; transl] lin1 over msg
-        wad_ref, waq_ref, ba1_ref,  # [T, 1], [T, 1], [T, 1]
+        whm_ref,      # [4T, T]  fused head lin1 over relu(pre): wheads@wm2
+        wad_ref, waq_ref, ba1_ref,  # [T, 1], [T, 1], [T, 1] (bhm folded)
         w2all_ref, b2all_ref,       # [32, 4T], [32, 1] fused head lin2
-        wfh_ref, wfm_ref, bf1_ref,  # [T, H], [T, M], [T, 1]
+        wfh_ref, wfm2_ref, bf1_ref,  # [T, H], [T_f, T] (wfm@wm2), [T, 1]
         wf2_ref, bf2_ref,          # [O, T], [O, 1]
         bl1_ref,                    # [T, 1]
         wrq_ref, br1_ref,           # [T, 4], [T, 1]
@@ -233,7 +232,7 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
         out_feat_ref,  # [O, BNB]
     ):
         NP = aj_ref.shape[0]
-        M = wm2_ref.shape[0]
+        Th = whm_ref.shape[-1]   # message hidden width (relu(pre) rows)
         BNB = h_ref.shape[-1]
 
         h = h_ref[:]
@@ -251,7 +250,7 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
             return pltpu.repeat(block, k, axis=1) if k > 1 else block
 
         def one_neighbour(np_i, carry):
-            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
+            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_hid, acc_cnt = carry
 
             # the n-dependent edge term expands with a one-hot matmul:
             # edge block [k, T] x S [k, BNB], contracting the k rows
@@ -259,7 +258,7 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
             # 0/1, so bf16 mode runs it as one MXU pass like the MLPs.
             edge_exp = _mm0(edge_ref[np_i], s_mat)  # [T, BNB]
             pre = a_i + expand(aj_ref[np_i]) + edge_exp
-            msg = _mm(wm2_ref[:], jnp.maximum(pre, 0.0)) + bm2_ref[:]  # [M, BNB]
+            hid = jnp.maximum(pre, 0.0)            # [Th, BNB]
 
             q_j = expand(qj_ref[np_i])             # [4, BNB]
             t_j = expand(tj_ref[np_i])             # [3, BNB]
@@ -269,8 +268,10 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
             qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
             qdot2 = jnp.square(qdot)
 
-            T = wheads_ref.shape[0] // 4
-            heads = _mm(wheads_ref[:], msg)  # [4T, BNB]
+            T = whm_ref.shape[0] // 4
+            # message lin2 folded into the head lin1 (whm = wheads @ wm2):
+            # one matmul from relu(pre) straight to the four heads
+            heads = _mm(whm_ref[:], hid)  # [4T, BNB]
 
             # rotation geometry (feeds the rot section's extra term)
             conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
@@ -313,7 +314,10 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
                 acc_gd * r + l * gdelta,
                 acc_ta * r + l * mdelta,
                 acc_tr * r + l * mr,
-                acc_msg + msg,   # plain sum over ALL neighbours (masked incl.)
+                # plain sum over ALL neighbours (masked incl.); msg's lin2
+                # is linear, so Σmsg = wm2 @ Σhid + NP·bm2 — folded into
+                # wfm2/bf1' at pack time
+                acc_hid + hid,
                 acc_cnt + mask,
             )
 
@@ -323,7 +327,7 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
             jnp.zeros((4, BNB), F32),
             jnp.zeros((N_TORSIONS, BNB), F32),
             jnp.zeros((3, BNB), F32),
-            jnp.zeros((M, BNB), F32),
+            jnp.zeros((Th, BNB), F32),
             jnp.zeros((1, BNB), F32),
         )
         # manual partial unroll: each neighbour's op chain (pre -> msg ->
@@ -339,14 +343,15 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
                 carry = one_neighbour(step * u + j, carry)
             return carry
 
-        _, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = lax.fori_loop(
+        _, acc_d, acc_gd, acc_ta, acc_tr, acc_hid, acc_cnt = lax.fori_loop(
             0, NP // u, body, init
         )
 
         inv_d = 1.0 / acc_d  # [1, BNB]
 
-        # feature update (message PLAIN sum, reference model.py:151)
-        feat_pre = _mm(wfh_ref[:], h) + _mm(wfm_ref[:], acc_msg) + bf1_ref[:]
+        # feature update (message PLAIN sum, reference model.py:151):
+        # wfm @ Σmsg = (wfm@wm2) @ Σhid + NP·wfm@bm2 = wfm2 @ acc_hid + bf1'
+        feat_pre = _mm(wfh_ref[:], h) + _mm(wfm2_ref[:], acc_hid) + bf1_ref[:]
         out_feat_ref[:] = _mm(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
 
         # rotation compose
@@ -389,9 +394,28 @@ def lane_geometry(B: int, N: int, lane_block: int = 1024) -> Tuple[int, int]:
     return k, Bp
 
 
-def pack_lane_weights(params, H: int) -> list:
+def pack_lane_weights(params, H: int, NP: int) -> list:
     """Transpose/reshape one layer's params into the kernel's weight list
-    (the order matches ``_make_kernel``'s weight refs)."""
+    (the order matches ``_make_kernel``'s weight refs).
+
+    Message-MLP LINEAR FUSION: ``msg = wm2 @ relu(pre) + bm2`` is consumed
+    only LINEARLY — by the fused head lin1 block (``heads = wheads @ msg``)
+    and by the plain all-neighbour sum feeding the feature MLP
+    (``wfm @ Σmsg``; reference model.py:151 — no activation on msg). So the
+    per-neighbour message lin2 matmul folds into the weights at pack time:
+
+        whm  = wheads @ wm2   [4T, T]   heads = whm @ relu(pre)
+        wfm2 = wfm @ wm2      [T_f, T]  feature term = wfm2 @ Σrelu(pre)
+        bhm  = wheads @ bm2   [4T, 1]   folded into the 4 head lin1 biases
+        bf1' = bf1 + NP·(wfm @ bm2)     (Σ over all NP neighbour slots,
+                                         masked included — the reference's
+                                         plain-sum quirk makes this exact)
+
+    One MXU matmul per neighbour disappears from the loop (measured 8% of
+    the forward kernel, tools/bench_fwd_stages.py round-3 budget). The
+    products reassociate float rounding (~1e-6 rel at these dims) — inside
+    every golden/parity tolerance. ``NP`` = N + P (the static padded
+    neighbour count the loop iterates)."""
     p = params
     w1m = jnp.asarray(p["message"]["lin1"]["w"], F32)  # [2H+E, T]
     M = p["message"]["lin2"]["b"].shape[0]
@@ -402,21 +426,32 @@ def pack_lane_weights(params, H: int) -> list:
     w1r = jnp.asarray(p["rotation"]["lin1"]["w"], F32)   # [M+4, T]
     w1t = jnp.asarray(p["torsion"]["lin1"]["w"], F32)    # [M+14, T]
     w2all, b2all = pack_head_lin2(p)
+    T = w1m.shape[-1]
+    mmH = lambda a, b: jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+    # fused [att; rot; tor; transl] head lin1 rows over msg
+    wheads = jnp.concatenate((col(w1a[:M]), col(w1r[:M]), col(w1t[:M]),
+                              col(p["translation"]["lin1"]["w"])), axis=0)
+    wm2c = col(p["message"]["lin2"]["w"])                 # [M, T]
+    bm2c = bias(p["message"]["lin2"]["b"])                # [M, 1]
+    whm = mmH(wheads, wm2c)                               # [4T, T]
+    bhm = mmH(wheads, bm2c)                               # [4T, 1]
+    wfm = col(w1f[H:])                                    # [T_f, M]
+    wfm2 = mmH(wfm, wm2c)                                 # [T_f, T]
+    bf1p = bias(p["feature"]["lin1"]["b"]) + float(NP) * mmH(wfm, bm2c)
     return [
         col(w1m[:H]),                                     # wmi [T, H]
         bias(p["message"]["lin1"]["b"]),
-        col(p["message"]["lin2"]["w"]), bias(p["message"]["lin2"]["b"]),
-        # fused [att; rot; tor; transl] head lin1 rows over msg
-        jnp.concatenate((col(w1a[:M]), col(w1r[:M]), col(w1t[:M]),
-                         col(p["translation"]["lin1"]["w"])), axis=0),
+        whm,                          # fused head lin1 over relu(pre)
         w1a[M].reshape(-1, 1), w1a[M + 1].reshape(-1, 1),
-        bias(p["attention"]["lin1"]["b"]),
+        bias(p["attention"]["lin1"]["b"]) + bhm[0:T],
         w2all, b2all,                 # fused head lin2 block [32, 4T]
-        col(w1f[:H]), col(w1f[H:]), bias(p["feature"]["lin1"]["b"]),
+        col(w1f[:H]), wfm2, bf1p,
         col(p["feature"]["lin2"]["w"]), bias(p["feature"]["lin2"]["b"]),
-        bias(p["translation"]["lin1"]["b"]),
-        col(w1r[M:]), bias(p["rotation"]["lin1"]["b"]),
-        col(w1t[M:]), bias(p["torsion"]["lin1"]["b"]),
+        bias(p["translation"]["lin1"]["b"]) + bhm[3 * T:4 * T],
+        col(w1r[M:]),
+        bias(p["rotation"]["lin1"]["b"]) + bhm[T:2 * T],
+        col(w1t[M:]),
+        bias(p["torsion"]["lin1"]["b"]) + bhm[2 * T:3 * T],
     ]
 
 
@@ -657,7 +692,7 @@ def egnn_forward_pallas_lane(
     a_j = jnp.einsum(
         "bph,ht->bpt", h_all, w1m[H:2 * H], precision=lax.Precision.HIGHEST,
     )
-    weights = pack_lane_weights(params, H)
+    weights = pack_lane_weights(params, H, N + P)
     tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
 
     out_q, out_t, out_sin, out_cos, out_feat = egnn_lane_core(

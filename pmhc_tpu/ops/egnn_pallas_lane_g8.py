@@ -63,8 +63,8 @@ G = 8  # neighbours per group (the full sublane height of a vreg)
 # only. Stages:
 #   "expand"  neighbour operand expansion (aj/qj/tj repeats + the edge
 #             selection matmuls)
-#   "msgmm"   the message-MLP lin2 matmul
-#   "headmm"  the fused head lin1 matmul ([4T, M] @ msg)
+#   "headmm"  the fused head lin1 matmul ([4T, T] @ relu(pre); the
+#             message lin2 is folded in at pack time — whm = wheads@wm2)
 #   "head2mm" the fused block-diagonal head lin2 matmul (w2all)
 #   "rotcm"   the component-major quaternion chain + layout crossings
 #   "fold"    the group tree-folds + online-softmax accumulation
@@ -160,11 +160,10 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         s_ref,        # [k, BNB] one-hot n expansion
         # weights (pack_lane_weights order)
         wmi_ref, bm1_ref,
-        wm2_ref, bm2_ref,
-        wheads_ref,
+        whm_ref,
         wad_ref, waq_ref, ba1_ref,
         w2all_ref, b2all_ref,
-        wfh_ref, wfm_ref, bf1_ref,
+        wfh_ref, wfm2_ref, bf1_ref,
         wf2_ref, bf2_ref,
         bl1_ref,
         wrq_ref, br1_ref,
@@ -173,8 +172,8 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         out_q_ref, out_t_ref, out_sin_ref, out_cos_ref, out_feat_ref,
     ):
         NG = qjg_cm_ref.shape[0]
-        M = wm2_ref.shape[0]
-        T = wheads_ref.shape[0] // 4
+        Th = whm_ref.shape[-1]   # message hidden width (relu(pre) rows)
+        T = whm_ref.shape[0] // 4
         BNB = qi_ref.shape[-1]
 
         p_sel, q_sel, rsq, t4, t4q, _ = _sel_matrices()
@@ -211,7 +210,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             return out
 
         def one_group(g, carry):
-            (m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt) = carry
+            (m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_hid, acc_cnt) = carry
 
             if "expand" in abl:  # timing ablation: wrong outputs
                 aj8 = a_i8
@@ -227,8 +226,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
                 pre8 = a_i8 + aj8 + edge8
                 q_j8 = expand8(qj_ref, g)                 # [4, BNB8]
                 t_j8 = expand8(tj_ref, g)                 # [3, BNB8]
-            msg8 = (pre8 if "msgmm" in abl else
-                    _mm(wm2_ref[:], jnp.maximum(pre8, 0.0)) + bm2_ref[:])
+            hid8 = jnp.maximum(pre8, 0.0)                 # [Th, BNB8]
             mask8 = jnp.concatenate(
                 [mask_ref[g * G + j] for j in range(G)], axis=1
             )                                              # [1, BNB8]
@@ -237,8 +235,9 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             d2 = jnp.sum(jnp.square(tdiff), axis=0, keepdims=True)
             qdot = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
 
-            heads8 = (pltpu.repeat(msg8, 4, axis=0) if "headmm" in abl
-                      else _mm(wheads_ref[:], msg8))      # [4T, BNB8]
+            # message lin2 folded into the head lin1 (whm = wheads@wm2)
+            heads8 = (pltpu.repeat(hid8, 4, axis=0) if "headmm" in abl
+                      else _mm(whm_ref[:], hid8))         # [4T, BNB8]
 
             # ---- rotation geometry, component-major ------------------
             W8 = heads8.shape[-1]
@@ -292,7 +291,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
                     acc_gd + cut(gdelta8),
                     acc_ta + cut(mdelta8),
                     acc_tr + cut(mr8),
-                    acc_msg + cut(msg8),
+                    acc_hid + cut(hid8),
                     acc_cnt + cut(mask8),
                 )
 
@@ -313,7 +312,8 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
                 acc_gd * r + _tree_lane(w8 * gdelta8, BNB, add),
                 acc_ta * r + _tree_lane(w8 * mdelta8, BNB, add),
                 acc_tr * r + _tree_lane(w8 * mr8, BNB, add),
-                acc_msg + _tree_lane(msg8, BNB, add),
+                # Σmsg = wm2 @ Σhid + NP·bm2, folded into wfm2/bf1'
+                acc_hid + _tree_lane(hid8, BNB, add),
                 acc_cnt + _tree_lane(mask8, BNB, add),
             )
 
@@ -323,7 +323,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             jnp.zeros((4, BNB), F32),
             jnp.zeros((N_TORSIONS, BNB), F32),
             jnp.zeros((3, BNB), F32),
-            jnp.zeros((M, BNB), F32),
+            jnp.zeros((Th, BNB), F32),
             jnp.zeros((1, BNB), F32),
         )
         u = unroll if NG % unroll == 0 else 1
@@ -333,7 +333,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
                 carry = one_group(step * u + j, carry)
             return carry
 
-        _, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = lax.fori_loop(
+        _, acc_d, acc_gd, acc_ta, acc_tr, acc_hid, acc_cnt = lax.fori_loop(
             0, NG // u, body, init
         )
 
@@ -344,7 +344,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         t_i = ti_ref[:]
 
         feat_pre = (
-            _mm(wfh_ref[:], h) + _mm(wfm_ref[:], acc_msg) + bf1_ref[:]
+            _mm(wfh_ref[:], h) + _mm(wfm2_ref[:], acc_hid) + bf1_ref[:]
         )
         out_feat_ref[:] = (
             _mm(wf2_ref[:], jnp.maximum(feat_pre, 0.0)) + bf2_ref[:]
@@ -557,7 +557,7 @@ def egnn_forward_pallas_lane_g8(
         return (RigidArray(merge(oq), merge(ot)), merge(otr), merge(ohh))
 
     # operand preparation shared by the single-cell and batch-grid paths
-    weights = pack_lane_weights(params, H)
+    weights = pack_lane_weights(params, H, NP)
     h_all = jnp.concatenate((peptide_features, pocket_features), axis=-2)
     q_all = jnp.concatenate(
         (peptide_frames.quats, pocket_frames.quats), axis=-2

@@ -51,14 +51,18 @@ INFINITY = 1e9
 F32 = jnp.float32
 
 # loop-weight pytree order (everything the neighbour loop consumes)
-# "wheads" fuses the four msg-consuming head lin1 matrices
-# [wam; wrm; wtm; wl1] into one [4T, M] block: one MXU op per neighbour
-# instead of four (and one fused dW / dmsg matmul in the backward).
+# "whm" fuses the four msg-consuming head lin1 matrices [wam; wrm; wtm;
+# wl1] AND the message lin2 into one [4T, T] block (whm = wheads @ wm2;
+# msg is consumed only linearly, so the lin2 folds into the weights —
+# see egnn_pallas_lane.pack_lane_weights): ONE MXU op per neighbour from
+# relu(pre) straight to the heads, one fused dW outer product and one
+# d(hid) matmul in the backward. bm2's head contribution is folded into
+# the ba1/br1/bt1/bl1 biases outside the kernel (differentiably).
 # "w2all"/"b2all" fuse the four head lin2 matmuls the same way
 # (egnn_pallas_lane.pack_head_lin2: block-diagonal [32, 4T], head rows
 # at 8-aligned offsets) — one fused lin2 matmul, one fused dW2ALL outer
 # product and one fused d(pre) matmul in the backward.
-_LOOP_W = ("wm2", "bm2", "wheads", "wad", "waq", "ba1", "w2all", "b2all",
+_LOOP_W = ("whm", "wad", "waq", "ba1", "w2all", "b2all",
            "bl1", "wrq", "br1", "bt1")
 
 
@@ -76,8 +80,8 @@ def _qconj(q):
 #   "dw"      every weight-gradient accumulation (dW outer products,
 #             bias rowsums)
 #   "head2mm" the fused head-lin2 backward matmul (d pre_heads)
-#   "headmm"  the fused head-lin1 backward matmul (d msg)
-#   "msgbwd"  the message-MLP backward matmul (d hid_m -> d a_i)
+#   "headmm"  the fused head-lin1 backward matmul (d hid; the message
+#             lin2 backward is folded in — whm = wheads @ wm2)
 #   "nbr"     the per-neighbour collapse/output block (daj/dqj/dtj/dedge)
 ABLATE_STAGES: frozenset = frozenset()
 
@@ -94,15 +98,15 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     edge_exp = _mm0(edge_kT, s_mat)
     pre = a_i + expand(aj) + edge_exp
     hid_m = jnp.maximum(pre, 0.0)
-    msg = _mm(w["wm2"], hid_m) + w["bm2"]
 
     q_j = expand(qj)
     t_j = expand(tj)
 
     d2 = jnp.sum(jnp.square(t_i - t_j), axis=0, keepdims=True)
     qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
-    T = w["wheads"].shape[0] // 4
-    heads = _mm(w["wheads"], msg)  # [4T, BNB]: att | rot | tor | transl
+    T = w["whm"].shape[0] // 4
+    # message lin2 folded into the head lin1 (whm = wheads @ wm2)
+    heads = _mm(w["whm"], hid_m)  # [4T, BNB]: att | rot | tor | transl
 
     # exact-zero guard: batch-PADDING lanes carry zero quats, and 0/0
     # NaNs would poison the backward's lane-reduction weight grads even
@@ -134,7 +138,7 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     mtr = out_all[24:25]
     mr = mtr * (t_i - t_j)
 
-    return dict(pre=pre, hid_m=hid_m, msg=msg, q_j=q_j, t_j=t_j, d2=d2,
+    return dict(pre=pre, hid_m=hid_m, q_j=q_j, t_j=t_j, d2=d2,
                 qdot=qdot, logit=logit,
                 sq=sq, inv_qj=inv_qj, v=v, local_q=local_q,
                 pre_heads=pre_heads, relu_heads=relu_heads,
@@ -150,10 +154,10 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
                *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
-        (m_ref, d_ref, gd_ref, ta_ref, tr_ref, msg_ref, cnt_ref) = \
+        (m_ref, d_ref, gd_ref, ta_ref, tr_ref, hid_ref, cnt_ref) = \
             w_then_out[len(_LOOP_W):]
         NP = aj_ref.shape[0]
-        M = w["wm2"].shape[0]
+        Th = w["whm"].shape[-1]   # message hidden width (relu(pre) rows)
         BNB = ai_ref.shape[-1]
 
         a_i = ai_ref[:]
@@ -166,7 +170,7 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
             return pltpu.repeat(block, k, axis=1) if k > 1 else block
 
         def one(np_i, carry):
-            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
+            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_hid, acc_cnt = carry
             r_ = _recompute_block(
                 w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
                 aj_ref[np_i], qj_ref[np_i], tj_ref[np_i], edge_ref[np_i],
@@ -181,7 +185,10 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
                 acc_gd * r + l * r_["gdelta"],
                 acc_ta * r + l * r_["mdelta"],
                 acc_tr * r + l * r_["mr"],
-                acc_msg + r_["msg"],
+                # Σmsg = wm2 @ Σhid + NP·bm2 (linear lin2): the finalize
+                # applies wm2 ONCE to this accumulator instead of the
+                # loop applying it per neighbour
+                acc_hid + r_["hid_m"],
                 acc_cnt + r_["mask"],
             )
 
@@ -191,7 +198,7 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
             jnp.zeros((4, BNB), F32),
             jnp.zeros((N_TORSIONS, BNB), F32),
             jnp.zeros((3, BNB), F32),
-            jnp.zeros((M, BNB), F32),
+            jnp.zeros((Th, BNB), F32),
             jnp.zeros((1, BNB), F32),
         )
         u_ = unroll if NP % unroll == 0 else 1
@@ -201,13 +208,13 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
                 carry = one(step * u_ + j, carry)
             return carry
 
-        m, d, gd, ta, tr, msg, cnt = lax.fori_loop(0, NP // u_, body, init)
+        m, d, gd, ta, tr, hid, cnt = lax.fori_loop(0, NP // u_, body, init)
         m_ref[:] = m
         d_ref[:] = d
         gd_ref[:] = gd
         ta_ref[:] = ta
         tr_ref[:] = tr
-        msg_ref[:] = msg
+        hid_ref[:] = hid
         cnt_ref[:] = cnt
 
     return kernel
@@ -218,7 +225,7 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
 
     def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
                aj_ref, qj_ref, tj_ref, edge_ref, mask_ref, s_ref, j_ref,
-               m_ref, gd_ct_ref, gta_ref, gtr_ref, gdn_ref, gmsg_ref,
+               m_ref, gd_ct_ref, gta_ref, gtr_ref, gdn_ref, ghid_ref,
                *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
@@ -241,7 +248,7 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
         g_ta = gta_ref[:]         # [7, BNB]
         g_tr = gtr_ref[:]         # [3, BNB]
         g_d = gdn_ref[:]          # [1, BNB]
-        g_msg = gmsg_ref[:]       # [M, BNB]
+        g_hid = ghid_ref[:]       # [Th, BNB] cotangent of the HID sum
 
         first_cell = pl.program_id(0) == 0
 
@@ -301,7 +308,6 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dgdelta = e * g_gd                   # [4, BNB]
             dmdelta = e * g_ta                   # [7, BNB]
             dmr = e * g_tr                       # [3, BNB]
-            dmsg = g_msg                         # [M, BNB] (plain sum)
 
             # ---- translation value path --------------------------------
             dmtr = jnp.sum(dmr * (t_i - t_j), axis=0, keepdims=True)
@@ -331,7 +337,7 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dpre_heads = jnp.where(
                 r_["pre_heads"] > 0.0, _mm0(w["w2all"], dout_all), 0.0
             )                                     # [4T, BNB]
-            T = w["wheads"].shape[0] // 4
+            T = w["whm"].shape[0] // 4
             datt_pre = dpre_heads[0:T]
             drot_pre = dpre_heads[T:2 * T]
             dtor_pre = dpre_heads[2 * T:3 * T]
@@ -362,9 +368,9 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dw["wad"] += jnp.sum(datt_pre * (-r_["d2"]), axis=1, keepdims=True)
             dw["waq"] += jnp.sum(datt_pre * jnp.square(r_["qdot"]), axis=1,
                                  keepdims=True)
-            # fused heads backward: one dW outer product + one dmsg matmul
-            dw["wheads"] += _mmL(dpre_heads, r_["msg"])
-            dmsg = dmsg + _mm0(w["wheads"], dpre_heads)
+            # fused heads backward: one dW outer product + one dhid matmul
+            # (whm = wheads @ wm2 — the message lin2 backward is folded in)
+            dw["whm"] += _mmL(dpre_heads, r_["hid_m"])
             dd2 = -jnp.sum(w["wad"] * datt_pre, axis=0, keepdims=True)
             dqdot = 2.0 * r_["qdot"] * jnp.sum(w["waq"] * datt_pre, axis=0,
                                                keepdims=True)
@@ -373,11 +379,10 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dqi = dqi + dqdot * q_j
             dqj_q = dqj_q + dqdot * q_i
 
-            # ---- message MLP --------------------------------------------
-            dhid_m = _mm0(w["wm2"], dmsg)
+            # ---- message MLP (fused): d(hid) = whm^T @ d(heads) + the
+            # HID-sum cotangent (constant across neighbours) -------------
+            dhid_m = _mm0(w["whm"], dpre_heads) + g_hid
             dpre = jnp.where(r_["pre"] > 0.0, dhid_m, 0.0)
-            dw["wm2"] += _mmL(dmsg, r_["hid_m"])
-            dw["bm2"] += jnp.sum(dmsg, axis=1, keepdims=True)
             dai = dai + dpre
 
             # neighbour-side outputs: collapse query tiles; daj/dqj/dtj
@@ -399,11 +404,11 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
 
             return (dai, dtor_node, dqi, dti, dw)
 
-        M = w["wm2"].shape[0]
+        Th = w["whm"].shape[-1]
         dw0 = {n: jnp.zeros(w[n].shape, F32) for n in _LOOP_W}
         init = (
-            jnp.zeros((w["wm2"].shape[1], BNB), F32),  # da_i [T, BNB]
-            jnp.zeros((w["wm2"].shape[1], BNB), F32),  # dtor_node [T, BNB]
+            jnp.zeros((Th, BNB), F32),  # da_i [T, BNB]
+            jnp.zeros((Th, BNB), F32),  # dtor_node [T, BNB]
             jnp.zeros((4, BNB), F32),
             jnp.zeros((3, BNB), F32),
             dw0,
@@ -446,7 +451,7 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
     from pmhc_tpu.ops.egnn_pallas_lane_g8 import _qmul_cm
 
     p_sel, q_sel, rsq, t4, t4q, r4 = sel
-    T = w["wheads"].shape[0] // 4
+    T = w["whm"].shape[0] // 4
 
     def rep(block):
         return pltpu.repeat(block, k, axis=1) if k > 1 else block
@@ -472,7 +477,6 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         )
         pre8 = a_i8 + aj8 + edge8
         hid_m8 = jnp.maximum(pre8, 0.0)
-        msg8 = _mm(w["wm2"], hid_m8) + w["bm2"]
 
         q_j8 = expand8(qj_ref, g)
         t_j8 = expand8(tj_ref, g)
@@ -483,7 +487,8 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         tdiff8 = t_i8 - t_j8
         d28 = jnp.sum(jnp.square(tdiff8), axis=0, keepdims=True)
         qdot8 = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
-        heads8 = _mm(w["wheads"], msg8)
+        # message lin2 folded into the head lin1 (whm = wheads @ wm2)
+        heads8 = _mm(w["whm"], hid_m8)
 
         qj_cm = rep(qjg_cm_ref[g])
         # exact-zero guard as in _recompute_block: padded lanes carry
@@ -519,7 +524,7 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         mr8 = mtr8 * tdiff8
 
         return dict(
-            pre8=pre8, hid_m8=hid_m8, msg8=msg8, q_j8=q_j8, t_j8=t_j8,
+            pre8=pre8, hid_m8=hid_m8, q_j8=q_j8, t_j8=t_j8,
             mask8=mask8, tdiff8=tdiff8, d28=d28, qdot8=qdot8,
             logit8=logit8,
             qj_cm=qj_cm, sq8=sq8, sq_cm=sq_cm, inv_cm=inv_cm, v_cm=v_cm,
@@ -545,11 +550,11 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
                s_ref, *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
-        (m_ref, d_ref, gd_ref, ta_ref, tr_ref, msg_ref, cnt_ref) = \
+        (m_ref, d_ref, gd_ref, ta_ref, tr_ref, hid_ref, cnt_ref) = \
             w_then_out[len(_LOOP_W):]
         NP = aj_ref.shape[0]
         NG = NP // 8
-        M = w["wm2"].shape[0]
+        Th = w["whm"].shape[-1]
         BNB = ai_ref.shape[-1]
 
         sel = _sel_matrices()
@@ -567,7 +572,7 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
         )
 
         def one(g, carry):
-            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_msg, acc_cnt = carry
+            m_run, acc_d, acc_gd, acc_ta, acc_tr, acc_hid, acc_cnt = carry
             r_ = recompute(g)
             gm = _tree_lane(r_["logit8"], BNB, jnp.maximum)
             m_new = jnp.maximum(m_run, gm)
@@ -583,7 +588,7 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
                 acc_gd * r + _tree_lane(w8 * r_["gdelta8"], BNB, add),
                 acc_ta * r + _tree_lane(w8 * r_["mdelta8"], BNB, add),
                 acc_tr * r + _tree_lane(w8 * r_["mr8"], BNB, add),
-                acc_msg + _tree_lane(r_["msg8"], BNB, add),
+                acc_hid + _tree_lane(r_["hid_m8"], BNB, add),
                 acc_cnt + _tree_lane(r_["mask8"], BNB, add),
             )
 
@@ -593,7 +598,7 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
             jnp.zeros((4, BNB), F32),
             jnp.zeros((N_TORSIONS, BNB), F32),
             jnp.zeros((3, BNB), F32),
-            jnp.zeros((M, BNB), F32),
+            jnp.zeros((Th, BNB), F32),
             jnp.zeros((1, BNB), F32),
         )
         u_ = unroll if NG % unroll == 0 else 1
@@ -603,13 +608,13 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
                 carry = one(step * u_ + j, carry)
             return carry
 
-        m, d, gd, ta, tr, msg, cnt = lax.fori_loop(0, NG // u_, body, init)
+        m, d, gd, ta, tr, hid, cnt = lax.fori_loop(0, NG // u_, body, init)
         m_ref[:] = m
         d_ref[:] = d
         gd_ref[:] = gd
         ta_ref[:] = ta
         tr_ref[:] = tr
-        msg_ref[:] = msg
+        hid_ref[:] = hid
         cnt_ref[:] = cnt
 
     return kernel
@@ -627,7 +632,7 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
     def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
                aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref,
                s_ref, j_ref,
-               m_ref, gd_ct_ref, gta_ref, gtr_ref, gdn_ref, gmsg_ref,
+               m_ref, gd_ct_ref, gta_ref, gtr_ref, gdn_ref, ghid_ref,
                *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
@@ -654,7 +659,7 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
         g_ta8 = _lane8(gta_ref[:])
         g_tr8 = _lane8(gtr_ref[:])
         g_d8 = _lane8(gdn_ref[:])
-        g_msg8 = _lane8(gmsg_ref[:])
+        g_hid8 = _lane8(ghid_ref[:])
 
         first_cell = pl.program_id(0) == 0
 
@@ -710,7 +715,6 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dgdelta8 = e8 * g_gd8
             dmdelta8 = e8 * g_ta8
             dmr8 = e8 * g_tr8
-            dmsg8 = g_msg8
 
             # ---- translation value path --------------------------------
             dmtr8 = rowsum_rows(dmr8 * r_["tdiff8"])
@@ -744,7 +748,7 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                 pltpu.repeat(dout_all8, 8, axis=0) if "head2mm" in abl
                 else _mm0(w["w2all"], dout_all8), 0.0
             )                                     # [4T, BNB8]
-            T = w["wheads"].shape[0] // 4
+            T = w["whm"].shape[0] // 4
             datt_pre8 = dpre_heads8[0:T]
             drot_pre8 = dpre_heads8[T:2 * T]
             dtor_pre8 = dpre_heads8[2 * T:3 * T]
@@ -779,10 +783,12 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                 dw["ba1"] += rowsum(datt_pre8)
                 dw["wad"] += rowsum(datt_pre8 * (-r_["d28"]))
                 dw["waq"] += rowsum(datt_pre8 * jnp.square(r_["qdot8"]))
-                dw["wheads"] += _mmL(dpre_heads8, r_["msg8"])
-            dmsg8 = dmsg8 + (dpre_heads8[0:w["wm2"].shape[0]]
-                             if "headmm" in abl
-                             else _mm0(w["wheads"], dpre_heads8))
+                dw["whm"] += _mmL(dpre_heads8, r_["hid_m8"])
+            # fused heads backward: d(hid) = whm^T @ d(heads) + the
+            # HID-sum cotangent (constant across groups)
+            dhid8 = g_hid8 + (dpre_heads8[0:w["whm"].shape[-1]]
+                              if "headmm" in abl
+                              else _mm0(w["whm"], dpre_heads8))
             dd28 = -jnp.sum(w["wad"] * datt_pre8, axis=0, keepdims=True)
             dqdot8 = 2.0 * r_["qdot8"] * jnp.sum(
                 w["waq"] * datt_pre8, axis=0, keepdims=True)
@@ -791,16 +797,9 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             dqi = dqi + _tree_lane(dqdot8 * r_["q_j8"], BNB, add)
             dqj_cm = dqj_cm + lane_to_cm(dqdot8 * q_i8)
 
-            # ---- message MLP --------------------------------------------
-            if "msgbwd" in abl:  # timing ablation: wrong grads
-                dpre8 = dmsg8
-            else:
-                dhid_m8 = _mm0(w["wm2"], dmsg8)
-                dpre8 = jnp.where(r_["pre8"] > 0.0, dhid_m8, 0.0)
-                dai = dai + _tree_lane(dpre8, BNB, add)
-            if "dw" not in abl:
-                dw["wm2"] += _mmL(dmsg8, r_["hid_m8"])
-                dw["bm2"] += rowsum(dmsg8)
+            # ---- message MLP (lin2 folded into whm above) ---------------
+            dpre8 = jnp.where(r_["pre8"] > 0.0, dhid8, 0.0)
+            dai = dai + _tree_lane(dpre8, BNB, add)
 
             # ---- neighbour-side outputs --------------------------------
             if "nbr" not in abl:
@@ -820,9 +819,10 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
             return (dai, dtor_node, dqi, dti, dw)
 
         dw0 = {n: jnp.zeros(w[n].shape, F32) for n in _LOOP_W}
+        Th = w["whm"].shape[-1]
         init = (
-            jnp.zeros((w["wm2"].shape[1], BNB), F32),
-            jnp.zeros((w["wm2"].shape[1], BNB), F32),
+            jnp.zeros((Th, BNB), F32),
+            jnp.zeros((Th, BNB), F32),
             jnp.zeros((4, BNB), F32),
             jnp.zeros((3, BNB), F32),
             dw0,
@@ -901,8 +901,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
                                        memory_space=pltpu.VMEM)
 
     w_shapes = {
-        "wm2": (M, T), "bm2": (M, 1),
-        "wheads": (4 * T, M),
+        "whm": (4 * T, T),   # fused wheads @ wm2 (msg lin2 folded in)
         "wad": (T, 1), "waq": (T, 1), "ba1": (T, 1),
         "w2all": (32, 4 * T), "b2all": (32, 1),
         "bl1": (T, 1), "wrq": (T, 4), "br1": (T, 1), "bt1": (T, 1),
@@ -923,10 +922,10 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             + [celledge, cellmask, const((k, BNB))]
             + [const(w_shapes[n]) for n in _LOOP_W]
         )
-        out_specs = tuple(lane(c) for c in (1, 1, 4, N_TORSIONS, 3, M, 1))
+        out_specs = tuple(lane(c) for c in (1, 1, 4, N_TORSIONS, 3, T, 1))
         out_shape = tuple(
             jax.ShapeDtypeStruct((c, ncells * BNB), F32)
-            for c in (1, 1, 4, N_TORSIONS, 3, M, 1)
+            for c in (1, 1, 4, N_TORSIONS, 3, T, 1)
         )
         operands = (
             (ai, tor, qi, ti, aj3, qj3, tj3)
@@ -945,7 +944,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         )(*operands, *[loop_w[n] for n in _LOOP_W])
 
     def bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
-                 mask3, s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_msg):
+                 mask3, s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_hid):
         ncells = ai.shape[-1] // BNB
         in_specs = (
             [lane(T), lane(T), lane(4), lane(3),
@@ -953,7 +952,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             + ([cmgroups] if g8 else [])
             + [celledge, cellmask,
                const((k, BNB)), const((BNB, Bp)),
-               lane(1), lane(4), lane(N_TORSIONS), lane(3), lane(1), lane(M)]
+               lane(1), lane(4), lane(N_TORSIONS), lane(3), lane(1), lane(T)]
             + [const(w_shapes[n]) for n in _LOOP_W]
         )
         out_specs = (
@@ -979,7 +978,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             (ai, tor, qi, ti, aj3, qj3, tj3)
             + ((qjg_cm,) if g8 else ())
             + (edge3, mask3, s_mat, j_mat,
-               m_fin, g_gd, g_ta, g_tr, g_d, g_msg)
+               m_fin, g_gd, g_ta, g_tr, g_d, g_hid)
         )
         return pl.pallas_call(
             (_make_loop_bwd_g8 if g8 else _make_loop_bwd)(
@@ -1011,13 +1010,13 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
     def loop_bwd(res, cts):
         (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3, mask3,
          s_mat, j_mat, m) = res
-        # cotangents for (m, D, GD, TA, TR, MSG, CNT); m/CNT carry none
+        # cotangents for (m, D, GD, TA, TR, HID, CNT); m/CNT carry none
         # by construction of the finalize (ratios are shift-invariant and
         # CNT only gates a boolean)
-        _, g_d, g_gd, g_ta, g_tr, g_msg, _ = cts
+        _, g_d, g_gd, g_ta, g_tr, g_hid, _ = cts
         outs = bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
                         edge3, mask3, s_mat, j_mat, m, g_d, g_gd, g_ta,
-                        g_tr, g_msg)
+                        g_tr, g_hid)
         dai, dtor, dqi, dti, daj, dqj, dtj, dedge = outs[:8]
         dw = dict(zip(_LOOP_W, outs[8:]))
         # the g8 kernels read q_all through BOTH qj3 and qjg_cm; the
@@ -1179,26 +1178,31 @@ def egnn_forward_pallas_lane_vjp(
     col = lambda w: jnp.asarray(w, F32).T
     bias = lambda b: jnp.asarray(b, F32).reshape(-1, 1)
     w2all, b2all = pack_head_lin2(params)
+    # [att; rot; tor; transl] head lin1 rows over msg, fused, THEN the
+    # message lin2 folded in (whm = wheads @ wm2, bhm = wheads @ bm2 —
+    # msg is consumed only linearly; see pack_lane_weights). Every step
+    # is differentiable jnp, so autodiff routes d(whm) back onto the
+    # five underlying parameter tensors via the product rule.
+    mmH = lambda a, b: jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+    wheads = jnp.concatenate(
+        (col(w1a[:M]), col(w1r[:M]), col(w1t[:M]),
+         col(params["translation"]["lin1"]["w"])), axis=0)
+    wm2c = col(params["message"]["lin2"]["w"])
+    bm2c = bias(params["message"]["lin2"]["b"])
+    bhm = mmH(wheads, bm2c)                      # [4T, 1]
     loop_w = {
-        "wm2": col(params["message"]["lin2"]["w"]),
-        "bm2": bias(params["message"]["lin2"]["b"]),
-        # [att; rot; tor; transl] head lin1 rows over msg, fused — the
-        # concat is differentiable, so autodiff splits dwheads back onto
-        # the four underlying parameter matrices
-        "wheads": jnp.concatenate(
-            (col(w1a[:M]), col(w1r[:M]), col(w1t[:M]),
-             col(params["translation"]["lin1"]["w"])), axis=0),
+        "whm": mmH(wheads, wm2c),
         "wad": w1a[M].reshape(-1, 1),
         "waq": w1a[M + 1].reshape(-1, 1),
-        "ba1": bias(params["attention"]["lin1"]["b"]),
+        "ba1": bias(params["attention"]["lin1"]["b"]) + bhm[0:T],
         # fused head lin2 block (pack_head_lin2 is concat/pad-built, so
         # autodiff routes dW2ALL back onto the four (w, b) pairs)
         "w2all": w2all,
         "b2all": b2all,
-        "bl1": bias(params["translation"]["lin1"]["b"]),
+        "bl1": bias(params["translation"]["lin1"]["b"]) + bhm[3 * T:4 * T],
         "wrq": col(w1r[M:]),
-        "br1": bias(params["rotation"]["lin1"]["b"]),
-        "bt1": bias(params["torsion"]["lin1"]["b"]),
+        "br1": bias(params["rotation"]["lin1"]["b"]) + bhm[T:2 * T],
+        "bt1": bias(params["torsion"]["lin1"]["b"]) + bhm[2 * T:3 * T],
     }
 
     if g8:
@@ -1220,7 +1224,7 @@ def egnn_forward_pallas_lane_vjp(
 
     loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret, g8,
                     batch_grid)
-    m, D, GD, TA, TR, MSG, CNT = loop(
+    m, D, GD, TA, TR, HID, CNT = loop(
         loop_w, node_t(a_i), node_t(tor_node),
         node_t(peptide_frames.quats), node_t(peptide_frames.trans),
         nbr_t(a_j), nbr_t(q_all), nbr_t(t_all), qjg_cm, edge3, mask3,
@@ -1230,7 +1234,17 @@ def egnn_forward_pallas_lane_vjp(
     # XLA finalize (autodiffed); back in [B, N, C] layout
     D_b = node_back(D)            # [B, N, 1]
     inv_d = 1.0 / D_b
-    msg_sum = node_back(MSG)      # [B, N, M]
+    # the loop accumulates Σ relu(pre); the (linear) message lin2 applies
+    # ONCE here: Σmsg = Σhid @ wm2 + NP·bm2 (plain all-neighbour sum —
+    # reference model.py:151 quirk). Autodiff through this line supplies
+    # the loop's HID cotangent and wm2/bm2's gradients.
+    prec_fin = (None if bf16 is True
+                else lax.Precision.HIGH if bf16 == "high"
+                else lax.Precision.HIGHEST)
+    msg_sum = jnp.matmul(
+        node_back(HID), jnp.asarray(params["message"]["lin2"]["w"], F32),
+        precision=prec_fin,
+    ) + float(NP) * jnp.asarray(params["message"]["lin2"]["b"], F32)
     gd = node_back(GD) * inv_d
     has_nb = node_back(CNT)[..., 0] > 0.0
     identity_q = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=gd.dtype)

@@ -13,8 +13,8 @@ Stages (see egnn_pallas_lane_vjp.ABLATE_STAGES):
   rotcm    component-major quaternion adjoint chains + layout crossings
   dw       all weight-gradient accumulations (dW outer products, rowsums)
   head2mm  the fused head-lin2 backward matmul ([32,4T]^T d_out)
-  headmm   the fused head-lin1 backward matmul ([4T,M]^T d_pre)
-  msgbwd   the message-MLP backward matmul + relu gate
+  headmm   the fused head-lin1 backward matmul ([4T,T]^T d_pre; the
+           message lin2 backward is folded in — whm = wheads @ wm2)
   nbr      per-neighbour collapse/output block (daj/dqj/dtj/dedge)
 
 Prints one JSON line per variant with ms/step and delta vs full.
@@ -46,7 +46,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--stages", default="fwdonly,full,rotcm,dw,head2mm,"
-                                        "headmm,msgbwd,nbr")
+                                        "headmm,nbr")
     ap.add_argument("--interpret", action="store_true",
                     help="interpret-mode smoke run (CPU): checks every "
                          "ablation variant traces, not for timing")

@@ -13,8 +13,8 @@ including everything Mosaic dead-code-eliminates with it.
 Stages (see egnn_pallas_lane_g8.ABLATE_STAGES):
   expand   neighbour operand expansion (aj/qj/tj repeats + edge
            selection matmuls)
-  msgmm    message-MLP lin2 matmul
-  headmm   fused head lin1 matmul ([4T, M] @ msg)
+  headmm   fused head lin1 matmul ([4T, T] @ relu(pre); the message
+           lin2 is folded in at pack time — whm = wheads @ wm2)
   head2mm  fused block-diagonal head lin2 matmul (w2all)
   rotcm    component-major quaternion chain + layout crossings
   fold     group tree-folds + online-softmax accumulation
@@ -47,7 +47,7 @@ def main():
                     help="layer forwards chained per dispatch")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--stages", default="full,expand,msgmm,headmm,"
+    ap.add_argument("--stages", default="full,expand,headmm,"
                                         "head2mm,rotcm,fold")
     ap.add_argument("--interpret", action="store_true",
                     help="interpret-mode smoke run (CPU): checks every "
