@@ -347,7 +347,6 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dw["bl1"] += jnp.sum(dtr_pre, axis=1, keepdims=True)
             dw["bt1"] += jnp.sum(dtor_pre, axis=1, keepdims=True)
             dtor_node = dtor_node + dtor_pre
-            dw["wrq"] += _mmL(drot_pre, r_["local_q"])
             dw["br1"] += jnp.sum(drot_pre, axis=1, keepdims=True)
             dlocal = _mm0(w["wrq"], drot_pre)    # [4, BNB]
             # local_q = inv_qj (x) v, v = q_i (x) q_j
@@ -369,8 +368,18 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             dw["waq"] += jnp.sum(datt_pre * jnp.square(r_["qdot"]), axis=1,
                                  keepdims=True)
             # fused heads backward: one dW outer product + one dhid matmul
-            # (whm = wheads @ wm2 — the message lin2 backward is folded in)
-            dw["whm"] += _mmL(dpre_heads, r_["hid_m"])
+            # (whm = wheads @ wm2 — the message lin2 backward is folded
+            # in). dwrq's LHS (drot_pre) is the rot row-slice of
+            # dpre_heads, so concatenating local_q onto the RHS merges
+            # BOTH dW outer products into one MXU pass-set; the kept
+            # blocks are bit-identical to the separate matmuls (each
+            # output element is the same lane dot product).
+            Th = w["whm"].shape[-1]
+            dwhl = _mmL(dpre_heads,
+                        jnp.concatenate((r_["hid_m"], r_["local_q"]),
+                                        axis=0))
+            dw["whm"] += dwhl[:, :Th]
+            dw["wrq"] += dwhl[T:2 * T, Th:]
             dd2 = -jnp.sum(w["wad"] * datt_pre, axis=0, keepdims=True)
             dqdot = 2.0 * r_["qdot"] * jnp.sum(w["waq"] * datt_pre, axis=0,
                                                keepdims=True)
@@ -760,7 +769,6 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                 dw["bt1"] += rowsum(dtor_pre8)
             dtor_node = dtor_node + _tree_lane(dtor_pre8, BNB, add)
             if "dw" not in abl:
-                dw["wrq"] += _mmL(drot_pre8, r_["local8"])
                 dw["br1"] += rowsum(drot_pre8)
             if "rotcm" in abl:  # timing ablation: wrong grads
                 dqj_cm = jnp.zeros((32, BNB), F32)
@@ -783,7 +791,17 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                 dw["ba1"] += rowsum(datt_pre8)
                 dw["wad"] += rowsum(datt_pre8 * (-r_["d28"]))
                 dw["waq"] += rowsum(datt_pre8 * jnp.square(r_["qdot8"]))
-                dw["whm"] += _mmL(dpre_heads8, r_["hid_m8"])
+                # dwrq's LHS (drot_pre8) is the rot row-slice of
+                # dpre_heads8: concatenating local8 onto the RHS merges
+                # the whm and wrq dW outer products into one MXU
+                # pass-set (kept blocks bit-identical to the separate
+                # matmuls — same lane dot products)
+                Th_ = w["whm"].shape[-1]
+                dwhl = _mmL(dpre_heads8,
+                            jnp.concatenate((r_["hid_m8"], r_["local8"]),
+                                            axis=0))
+                dw["whm"] += dwhl[:, :Th_]
+                dw["wrq"] += dwhl[T:2 * T, Th_:]
             # fused heads backward: d(hid) = whm^T @ d(heads) + the
             # HID-sum cotangent (constant across groups)
             dhid8 = g_hid8 + (dpre_heads8[0:w["whm"].shape[-1]]
