@@ -1240,6 +1240,11 @@ def egnn_forward_pallas_lane_vjp(
         qjg_cm = jnp.zeros(
             (NP // 8, 32, (nch * Bp) if batch_grid else Bp), F32)
 
+    # keep the weight-prep matmuls (whm = wheads @ wm2, bhm) OUT of the
+    # XLA fusion around the pallas call: at f32 HIGHEST their multi-pass
+    # expansion pushed the call's operand fusion over the 16 MB
+    # scoped-vmem limit (measured 19.71M at batch 64 — compile error)
+    loop_w = lax.optimization_barrier(loop_w)
     loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret, g8,
                     batch_grid)
     m, D, GD, TA, TR, HID, CNT = loop(
@@ -1248,6 +1253,11 @@ def egnn_forward_pallas_lane_vjp(
         nbr_t(a_j), nbr_t(q_all), nbr_t(t_all), qjg_cm, edge3, mask3,
         s_mat, j_mat,
     )
+    # same scoped-vmem guard on the output side: keep the finalize's
+    # msg_sum matmul (new consumer of HID) out of the fusion around the
+    # pallas call (the g8 f32 chunked path OOM'd without this)
+    m, D, GD, TA, TR, HID, CNT = lax.optimization_barrier(
+        (m, D, GD, TA, TR, HID, CNT))
 
     # XLA finalize (autodiffed); back in [B, N, C] layout
     D_b = node_back(D)            # [B, N, 1]
