@@ -199,6 +199,19 @@ def save_pdb(
     ``precomputed=precompute_pdb_arrays(batch)`` so the batch-level
     conversion and device fetches run once, not per entry.
     """
+    data = pdb_bytes(batch, batch_index, precomputed)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def pdb_bytes(
+    batch: Dict[str, Any] | None,
+    batch_index: int,
+    precomputed: Dict[str, np.ndarray] | None = None,
+) -> bytes:
+    """The PDB file contents for one complex, in memory (the serving
+    path returns these over the wire instead of touching disk; the
+    bytes are identical to what ``save_pdb`` writes)."""
     pc = precomputed if precomputed is not None else precompute_pdb_arrays(batch)
 
     b = batch_index
@@ -323,6 +336,4 @@ def save_pdb(
         parts.append(
             _ter_record(out_serial + 1, last_m, "M", n_pres).encode())
     parts.append(b"END\n")
-
-    with open(path, "wb") as f:
-        f.writelines(parts)
+    return b"".join(parts)

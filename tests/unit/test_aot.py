@@ -1,0 +1,63 @@
+"""AOT sampler artifacts (pmhc_tpu.aot): export/load roundtrip, config
+pinning, and bit-identical outputs vs the jitted service."""
+
+import jax
+import pytest
+
+from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+from pmhc_tpu.serve import SamplerService, dummy_entry
+
+T = 5
+
+
+@pytest.fixture(scope="module")
+def params():
+    cfg = ScoreNetworkConfig(noise_step_count=T, backend="xla")
+    return init_score_network(jax.random.key(2), cfg)
+
+
+def _service(params, **kw):
+    kw.setdefault("batch_size", 2)
+    kw.setdefault("noise_step_count", T)
+    kw.setdefault("backend", "xla")
+    return SamplerService(params, **kw)
+
+
+def test_aot_roundtrip_bit_identical(tmp_path, params):
+    from pmhc_tpu.aot import load_sampler, save_sampler
+
+    svc = _service(params)
+    entries = [dummy_entry(), dummy_entry()]
+    key = jax.random.key(9)
+    jit_pdbs = svc.sample_entries(entries, key)
+
+    path = str(tmp_path / "sampler.aot")
+    save_sampler(svc, path)
+
+    fresh = _service(params)
+    run = load_sampler(path, fresh)
+    assert fresh._run is run
+    aot_pdbs = fresh.sample_entries(entries, key)
+    assert aot_pdbs == jit_pdbs  # same program -> identical bytes
+
+
+def test_aot_config_mismatch_rejected(tmp_path, params):
+    from pmhc_tpu.aot import load_sampler, save_sampler
+
+    path = str(tmp_path / "sampler.aot")
+    save_sampler(_service(params), path)
+    other = _service(params, batch_size=3)
+    with pytest.raises(ValueError, match="batch_size"):
+        load_sampler(path, other)
+    strided = _service(params, num_steps=2)
+    with pytest.raises(ValueError, match="num_steps"):
+        load_sampler(path, strided)
+
+
+def test_aot_bad_file_rejected(tmp_path, params):
+    from pmhc_tpu.aot import load_sampler
+
+    path = tmp_path / "junk.aot"
+    path.write_bytes(b"definitely not an artifact")
+    with pytest.raises(ValueError, match="not a pmhc AOT artifact"):
+        load_sampler(str(path))
