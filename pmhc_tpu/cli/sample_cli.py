@@ -79,6 +79,10 @@ def build_parser() -> ArgumentParser:
                         "to arbitrary (t, s) jumps — golden-tested) for a "
                         "~T/K sampling speedup; quality vs K measured in "
                         "docs/parity.md")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "to DIR (TensorBoard xplane + Chrome trace). The "
+                        "WHOLE run is traced — use a small batch count")
     return p
 
 
@@ -89,10 +93,23 @@ def main(argv=None) -> None:
     )
 
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.profile_dir:
+        from pmhc_tpu.utils.profiling import profile_trace
+
+        _log.info("capturing a device trace to %s (view with TensorBoard; "
+                  "the whole run is traced)", args.profile_dir)
+        with profile_trace(args.profile_dir):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args) -> None:
+    import jax
+    import jax.numpy as jnp
 
     from pmhc_tpu.data import PmhcDataset, PrefetchLoader
     from pmhc_tpu.diffusion import (

@@ -96,6 +96,11 @@ def build_parser() -> ArgumentParser:
                    help="check the HDF5 against the SwiftMHC schema before "
                         "training and abort with actionable messages on "
                         "drift (pmhc_tpu.data.validate)")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "to DIR (TensorBoard xplane + Chrome trace). The "
+                        "WHOLE run is traced — use a short run (small "
+                        "epoch count / tiny dataset) to keep it readable")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="scan this many optimizer steps inside one device "
                         "dispatch (amortizes host->TPU latency; identical "
@@ -133,6 +138,20 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.debug:
         jax.config.update("jax_debug_nans", True)
+
+    if args.profile_dir:
+        from pmhc_tpu.utils.profiling import profile_trace
+
+        _log.info("capturing a device trace to %s (view with TensorBoard; "
+                  "keep the run short — the whole run is traced)",
+                  args.profile_dir)
+        with profile_trace(args.profile_dir):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args) -> None:
+    import jax
 
     from pmhc_tpu.data import PmhcDataset, PrefetchLoader
     from pmhc_tpu.diffusion import DiffusionConfig
