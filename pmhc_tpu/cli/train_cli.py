@@ -89,6 +89,17 @@ def build_parser() -> ArgumentParser:
                         "guard is the NaN-loss abort; the measured "
                         "dynamics spike >100x and can diverge on long "
                         "horizons — see docs/parity.md)")
+    p.add_argument("--lr-warmup-steps", type=int, default=0,
+                   help="opt-in linear LR warmup (0 -> --lr over this many "
+                        "optimizer steps; off by default, matching the "
+                        "reference's constant Adam lr). The schedule "
+                        "counter checkpoints through --orbax-dir")
+    p.add_argument("--lr-decay-steps", type=int, default=None,
+                   help="opt-in cosine LR decay to --lr-final over this "
+                        "TOTAL horizon in optimizer steps (warmup "
+                        "included); off by default")
+    p.add_argument("--lr-final", type=float, default=0.0,
+                   help="final LR for --lr-decay-steps (default 0)")
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "
                         "(deviates from the reference quirk)")
@@ -209,7 +220,9 @@ def _run(args) -> None:
     )
     train_config = TrainConfig(
         learning_rate=args.lr, batch_size=args.batch_size, seed=args.seed,
-        grad_clip_norm=args.clip_grad_norm, ema_decay=args.ema_decay
+        grad_clip_norm=args.clip_grad_norm, ema_decay=args.ema_decay,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_decay_steps=args.lr_decay_steps, lr_final=args.lr_final,
     )
 
     # --mesh-model / --mesh-context without --mesh-data: the data axis

@@ -60,6 +60,42 @@ class TrainConfig:
     # decay ~0.999); maintained inside the optimizer state
     # (train/ema.py) so it flows through every trainer path and Orbax.
     ema_decay: float | None = None
+    # Opt-in learning-rate schedule (defaults = off: the reference runs
+    # constant Adam lr, ``optimize.py:32``). ``lr_warmup_steps`` ramps
+    # 0 -> learning_rate linearly; ``lr_decay_steps`` (a TOTAL horizon
+    # in optimizer steps, warmup included) then cosine-decays to
+    # ``lr_final``. The schedule's step counter lives inside the optax
+    # state, so it checkpoints/restores through Orbax and is correct
+    # under the K-step scan and fused device pipelines.
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int | None = None
+    lr_final: float = 0.0
+
+
+def make_learning_rate(config: TrainConfig):
+    """The optax learning rate for a TrainConfig: a float when no
+    schedule is requested (bit-identical to the pre-schedule optimizer),
+    else an optax schedule (linear warmup, optional cosine decay)."""
+    if not config.lr_warmup_steps and config.lr_decay_steps is None:
+        return config.learning_rate
+    warmup = config.lr_warmup_steps
+    if config.lr_decay_steps is not None:
+        if config.lr_decay_steps <= warmup:
+            raise ValueError(
+                f"lr_decay_steps ({config.lr_decay_steps}) must exceed "
+                f"lr_warmup_steps ({warmup}) — it is the total horizon")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=config.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=config.lr_decay_steps,
+            end_value=config.lr_final,
+        )
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, config.learning_rate, warmup),
+         optax.constant_schedule(config.learning_rate)],
+        boundaries=[warmup],
+    )
 
 
 MODEL_BATCH_KEYS = (
@@ -429,7 +465,7 @@ class Trainer:
             from pmhc_tpu.models import init_score_network
 
             params = init_score_network(init_key, model_config)
-        parts = [optax.adam(train_config.learning_rate)]
+        parts = [optax.adam(make_learning_rate(train_config))]
         if train_config.grad_clip_norm:
             parts.insert(0, optax.clip_by_global_norm(
                 train_config.grad_clip_norm))
