@@ -36,6 +36,10 @@ def main():
                     help="timed windows (best wins)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fast-f32", action="store_true")
+    ap.add_argument("--inner-size", type=int, default=64,
+                    help="I: scaled-model probes (reference 64)")
+    ap.add_argument("--message-size", type=int, default=64,
+                    help="M: scaled-model probes (reference 64)")
     args = ap.parse_args()
 
     from pmhc_tpu.data import synthetic_batch
@@ -61,7 +65,9 @@ def main():
             lambda *xs: jnp.stack(xs), *[prepare_batch(b) for b in batches]
         ))
         for backend in args.backends.split(","):
-            mc = ScoreNetworkConfig(backend=backend)
+            mc = ScoreNetworkConfig(backend=backend,
+                                    inner_size=args.inner_size,
+                                    message_size=args.message_size)
             params = init_score_network(jax.random.key(0), mc)
             opt = optax.adam(tc.learning_rate)
             opt_state = opt.init(params)
