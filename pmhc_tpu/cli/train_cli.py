@@ -100,6 +100,21 @@ def build_parser() -> ArgumentParser:
                         "included); off by default")
     p.add_argument("--lr-final", type=float, default=0.0,
                    help="final LR for --lr-decay-steps (default 0)")
+    p.add_argument("--val-hdf5", default=None, metavar="PATH",
+                   help="held-out HDF5 evaluated after every epoch (no "
+                        "gradient); per-epoch means append to "
+                        "<model>.val.csv (same schema as the train CSV). "
+                        "Noise/timestep draws are FIXED per batch index, "
+                        "so the curve is comparable across epochs. With "
+                        "--ema-decay the EMA weights are evaluated too "
+                        "(<model>.val.ema.csv)")
+    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                   help="average gradients over K consecutive batches "
+                        "per optimizer update (effective batch K*B at "
+                        "the HBM footprint of B; optax.MultiSteps — the "
+                        "accumulator checkpoints through --orbax-dir; "
+                        "LR schedules count optimizer steps). Default 1 "
+                        "= off, matching the reference")
     p.add_argument("--per-sample-t", action="store_true",
                    help="draw one timestep per sample instead of per batch "
                         "(deviates from the reference quirk)")
@@ -223,6 +238,7 @@ def _run(args) -> None:
         grad_clip_norm=args.clip_grad_norm, ema_decay=args.ema_decay,
         lr_warmup_steps=args.lr_warmup_steps,
         lr_decay_steps=args.lr_decay_steps, lr_final=args.lr_final,
+        grad_accum=max(1, args.grad_accum),
     )
 
     # --mesh-model / --mesh-context without --mesh-data: the data axis
@@ -306,6 +322,39 @@ def _run(args) -> None:
     metrics_path = args.output_model.replace(".pth", ".csv")
     K = max(1, args.steps_per_dispatch)
 
+    if args.val_hdf5:
+        val_loader = PrefetchLoader(
+            PmhcDataset(args.val_hdf5),
+            batch_size=args.batch_size,
+            shuffle=False,
+            num_workers=args.num_workers,
+            sharding=batch_sharding(mesh) if mesh else None,
+        )
+        # fixed per-batch-index keys: every epoch evaluates the SAME
+        # (t, noise) draws, so the val curve isolates parameter movement
+        val_key = jax.random.key(args.seed + 104729)
+
+    def run_validation(epoch_index):
+        if not args.val_hdf5:
+            return
+        val_metrics = MetricsRecord()
+        ema_metrics = MetricsRecord() if args.ema_decay else None
+        for j, batch in enumerate(val_loader):
+            k = jax.random.fold_in(val_key, j)
+            trainer.eval_batch(batch, k, val_metrics)
+            if ema_metrics is not None:
+                trainer.eval_batch(batch, k, ema_metrics,
+                                   params=trainer.ema_params)
+        val_metrics.save(
+            args.output_model.replace(".pth", ".val.csv"), epoch_index)
+        _log.info("epoch %d val: %s", epoch_index, val_metrics.mean())
+        if ema_metrics is not None:
+            ema_metrics.save(
+                args.output_model.replace(".pth", ".val.ema.csv"),
+                epoch_index)
+            _log.info("epoch %d val (ema): %s", epoch_index,
+                      ema_metrics.mean())
+
     nan_state = {"retries": 0}
 
     def check_nan(metrics):
@@ -380,6 +429,7 @@ def _run(args) -> None:
             if len(metrics):  # empty after an epoch-end NaN recovery
                 metrics.save(metrics_path, epoch_index)
                 _log.info("epoch %d: %s", epoch_index, metrics.mean())
+            run_validation(epoch_index)
         if ckpt_mgr is not None:
             ckpt_mgr.wait()
         return
@@ -406,6 +456,7 @@ def _run(args) -> None:
         if len(metrics):  # empty after an epoch-end NaN recovery
             metrics.save(metrics_path, epoch_index)
             _log.info("epoch %d: %s", epoch_index, metrics.mean())
+        run_validation(epoch_index)
     if ckpt_mgr is not None:
         ckpt_mgr.wait()
 

@@ -22,6 +22,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# the reference CSV's column order is ``get_loss``'s dict insertion order
+# (``optimizer.py:74-79`` via ``metrics.py:27-40``); dicts returned from a
+# jitted step carry jax's SORTED key order, so the canonical order is
+# restored here
+_REFERENCE_ORDER = (
+    "total loss", "positions loss", "rotations loss", "torsions loss", "rmsd",
+)
+
+
 class MetricsRecord:
     def __init__(self):
         self._pending = []  # batches not yet folded into the running totals
@@ -33,9 +42,10 @@ class MetricsRecord:
         """Accumulate a train step's per-batch loss sums (device scalars;
         no host sync and no extra device dispatch here)."""
         if self._key_order is None:
-            # jax.tree_util sorts dict keys; remember insertion order so the
-            # CSV columns match the reference byte for byte
-            self._key_order = list(batch_sums.keys())
+            # reference column order first, any extra keys after
+            self._key_order = [
+                k for k in _REFERENCE_ORDER if k in batch_sums
+            ] + [k for k in batch_sums if k not in _REFERENCE_ORDER]
         self._pending.append(batch_sums)
         self._size += batch_size
 

@@ -70,6 +70,14 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     lr_decay_steps: int | None = None
     lr_final: float = 0.0
+    # Opt-in gradient accumulation (1 = off, matching the reference):
+    # every optimizer update averages the gradients of this many
+    # consecutive micro-batches (optax.MultiSteps), so an effective
+    # batch of K*B trains within the HBM footprint of B. The
+    # accumulator lives inside the optimizer state, so it flows through
+    # every trainer path (GSPMD DP, TP-sharded moments, shard_map CP,
+    # the K-step device scans) and Orbax checkpoint/restore unchanged.
+    grad_accum: int = 1
 
 
 def make_learning_rate(config: TrainConfig):
@@ -389,6 +397,46 @@ def make_train_scan(
                       tensor_parallel=tensor_parallel)
 
 
+def make_eval_step(
+    model_config: ScoreNetworkConfig,
+    diffusion_config: DiffusionConfig,
+    precision=DEFAULT_PRECISION,
+):
+    """Jitted held-out evaluation: ``(params, batch, key) -> metric_sums``
+    — the train step's loss with no gradient and no update.
+
+    The timestep is drawn PER SAMPLE (the reference's one-t-per-batch
+    draw, ``optimizer.py:197``, is a training quirk; per-sample t covers
+    the schedule uniformly and cuts eval variance) and both t and the
+    noise derive from the caller's key, so evaluating with a FIXED key
+    per batch index gives a deterministic measurement that is comparable
+    across epochs: curve differences are purely parameter movement. No
+    reference analogue (the reference never evaluates held-out data,
+    ``optimize.py:67-82``)."""
+    tables = ScheduleTables(diffusion_config)
+    T = diffusion_config.noise_step_count
+
+    def eval_fn(params, batch, key):
+        key_t, key_eps = jax.random.split(key)
+        bshape = batch["frames"].shape  # (B, N)
+        t = jax.random.randint(key_t, (bshape[0],), 0, T)
+        epsilon = gen_noise(key_eps, bshape, diffusion_config)
+        zt = add_noise(batch, epsilon, t, tables)
+        pred = score_network_forward(params, zt, t, model_config, precision)
+        losses = diffusion_loss(
+            epsilon,
+            pred,
+            batch["mask"],
+            batch["torsions_mask"],
+            diffusion_config.position_loss_weight,
+            diffusion_config.rotation_loss_weight,
+            diffusion_config.torsion_loss_weight,
+        )
+        return {k: jnp.sum(v) for k, v in losses.items()}
+
+    return jax.jit(eval_fn)
+
+
 def make_train_scan_device(
     model_config: ScoreNetworkConfig,
     diffusion_config: DiffusionConfig,
@@ -474,6 +522,13 @@ class Trainer:
 
             parts.append(ema_of_params(train_config.ema_decay))
         self.optimizer = parts[0] if len(parts) == 1 else optax.chain(*parts)
+        if train_config.grad_accum > 1:
+            # average grads over K micro-batches per update; the inner
+            # chain (clip/adam/ema and the LR-schedule counter) only
+            # advances on real updates, so schedules count OPTIMIZER
+            # steps, not micro-steps
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=train_config.grad_accum)
         self.params = params
         if mesh is not None and tensor_parallel:
             # commit params to the Megatron column/row layout on the
@@ -503,6 +558,7 @@ class Trainer:
         )
         self._scan_step = None
         self._device_scan_step = None
+        self._eval_step = None
         self._precision = precision
         self.global_step = 0
 
@@ -524,6 +580,30 @@ class Trainer:
         self.global_step += 1
         if metrics is not None:
             metrics.add_batch(sums, batch_size)
+        return sums
+
+    def eval_batch(self, batch: Dict[str, Any], key, metrics=None,
+                   params=None):
+        """Held-out loss on a loader batch (no gradient, no update; see
+        ``make_eval_step``). Pass the same ``key`` per batch index every
+        epoch for an epoch-comparable validation curve. ``params``
+        overrides the trained weights (e.g. ``trainer.ema_params``)."""
+        model_batch = prepare_batch(batch)
+        if self._eval_step is None:
+            import dataclasses
+
+            eval_config = self.model_config
+            if eval_config.backend in ("cp", "ring"):
+                # the cp/ring backends bind a mesh axis and only run
+                # inside the shard_map trainer; evaluation is a small,
+                # single-pass workload — run it on the xla backend
+                eval_config = dataclasses.replace(eval_config, backend="xla")
+            self._eval_step = make_eval_step(
+                eval_config, self.diffusion_config, self._precision)
+        sums = self._eval_step(
+            self.params if params is None else params, model_batch, key)
+        if metrics is not None:
+            metrics.add_batch(sums, model_batch["mask"].shape[0])
         return sums
 
     def train_indices(self, data, idx, metrics=None):

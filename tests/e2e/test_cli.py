@@ -400,3 +400,37 @@ def test_train_cli_ema(data_dir, tmp_path):
     ])
     out_dir = str(data_dir / "test-sampled")
     assert any(f.endswith(".pdb") for f in os.listdir(out_dir))
+
+
+def test_train_cli_val_and_grad_accum(data_dir, tmp_path):
+    """--val-hdf5 writes a per-epoch held-out CSV (same schema as the
+    train CSV, deterministic across epochs at fixed params) and
+    --grad-accum trains through optax.MultiSteps end-to-end."""
+    from pmhc_tpu.cli.train_cli import main
+
+    model_path = str(tmp_path / "model_val.pth")
+    main([
+        str(data_dir / "train.hdf5"), "2", model_path,
+        "-T", "8", "--batch-size", "3", "--num-workers", "2",
+        "--val-hdf5", str(data_dir / "test.hdf5"),
+        "--grad-accum", "2", "--lr", "0.0",  # lr 0: params frozen
+    ])
+    val_csv = model_path.replace(".pth", ".val.csv")
+    assert os.path.isfile(val_csv)
+    lines = open(val_csv).read().strip().splitlines()
+    assert lines[0].startswith("epoch,total loss,")
+    assert len(lines) == 3  # header + 2 epochs
+    # frozen params + fixed per-batch-index eval keys -> identical rows
+    assert lines[1].split(",")[1:] == lines[2].split(",")[1:]
+
+    # and with a real lr the val rows move
+    model2 = str(tmp_path / "model_val2.pth")
+    main([
+        str(data_dir / "train.hdf5"), "2", model2,
+        "-T", "8", "--batch-size", "3",
+        "--val-hdf5", str(data_dir / "test.hdf5"),
+        "--ema-decay", "0.99",
+    ])
+    lines = open(model2.replace(".pth", ".val.csv")).read().strip().splitlines()
+    assert lines[1].split(",")[1:] != lines[2].split(",")[1:]
+    assert os.path.isfile(model2.replace(".pth", ".val.ema.csv"))

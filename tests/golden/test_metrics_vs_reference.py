@@ -35,3 +35,26 @@ def test_csv_output_matches_reference(tmp_path):
         theirs.save(str(ref_path), epoch)
 
     assert ours_path.read_text() == ref_path.read_text()
+
+
+def test_csv_column_order_survives_jit_key_sorting(tmp_path):
+    """Dicts returned from a jitted train step carry jax's SORTED key
+    order; the CSV must still come out in the reference's get_loss
+    insertion order (``optimizer.py:74-79``)."""
+    keys = ("total loss", "positions loss", "rotations loss", "torsions loss", "rmsd")
+
+    ours = MetricsRecord()
+    theirs = RefMetrics()
+    vals = {k: float(i + 1) for i, k in enumerate(keys)}
+    # ours sees the dict as jit would deliver it: alphabetically sorted
+    ours.add_batch(
+        {k: jnp.asarray(vals[k] * 8) for k in sorted(keys)}, 8)
+    theirs.add_batch(
+        {k: torch.full((8,), vals[k]) for k in keys})
+
+    ours_path = tmp_path / "ours.csv"
+    ref_path = tmp_path / "ref.csv"
+    ours.save(str(ours_path), 0)
+    theirs.save(str(ref_path), 0)
+    assert ours_path.read_text() == ref_path.read_text()
+    assert ours_path.read_text().splitlines()[0] == "epoch," + ",".join(keys)
