@@ -274,9 +274,25 @@ def _run(args) -> None:
 
         ckpt_mgr = CheckpointManager(args.orbax_dir)
         if ckpt_mgr.latest_step() is not None:
-            trainer.params, trainer.opt_state, trainer.key, step = ckpt_mgr.restore(
-                trainer.params, trainer.opt_state
-            )
+            try:
+                trainer.params, trainer.opt_state, trainer.key, step = (
+                    ckpt_mgr.restore(trainer.params, trainer.opt_state))
+            except (ValueError, TypeError, KeyError) as e:
+                # the opt_state PYTREE SHAPE depends on the optimizer-chain
+                # flags (--grad-accum wraps the chain in MultiSteps,
+                # --ema-decay / --clip-grad-norm / --lr-schedule add links),
+                # so resuming with different flags fails deep inside orbax
+                # with a raw tree-structure mismatch
+                raise SystemExit(
+                    f"orbax restore from {args.orbax_dir} failed with a "
+                    f"checkpoint-structure mismatch: {e}\n"
+                    "Likely cause: this run's optimizer-chain flags "
+                    "(--grad-accum, --ema-decay, --clip-grad-norm, "
+                    "--lr-schedule) differ from the run that wrote the "
+                    "checkpoint. Re-run with the original flags, or point "
+                    "--orbax-dir at a fresh directory (resume params only "
+                    "via the .pth path)."
+                ) from e
             trainer.global_step = step
             _log.info("restored orbax checkpoint at step %d", step)
 
@@ -376,7 +392,11 @@ def _run(args) -> None:
         elif os.path.isfile(args.output_model):
             trainer.params = import_torch_checkpoint(args.output_model)
             trainer.opt_state = trainer.optimizer.init(trainer.params)
-            src = f"{args.output_model} (params only; Adam moments reset)"
+            # opt_state re-init wipes EVERYTHING riding in it: Adam
+            # moments, the --grad-accum MultiSteps accumulator, and the
+            # --ema-decay average (reset to the restored params)
+            src = (f"{args.output_model} (params only; Adam moments, "
+                   "grad-accum accumulator and EMA average reset)")
         else:
             raise RuntimeError("NaN loss (no checkpoint to restart from)")
         # a fresh noise trajectory: replaying the saved key over the

@@ -75,6 +75,25 @@ class MetricsRecord:
         means = self.mean()
         keys = list(means.keys())
         add_header = not os.path.isfile(path)
+        if not add_header:
+            # Resuming onto an existing CSV: honour ITS header order so rows
+            # written before a column-order change (e.g. the pre-fix
+            # alphabetical header) never misalign under the old header. If
+            # the column sets differ entirely, rotate the stale file.
+            with open(path, "rt") as f:
+                header = next(csv.reader(f), None)
+            existing = [c for c in (header or []) if c != "epoch"]
+            if existing and set(existing) == set(keys):
+                keys = existing
+            elif existing:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "metrics CSV %s has columns %s but this run produces %s; "
+                    "rotating it to %s.old", path, existing, keys, path,
+                )
+                os.replace(path, path + ".old")
+                add_header = True
         with open(path, "at") as f:
             w = csv.writer(f, delimiter=",")
             if add_header:

@@ -72,3 +72,23 @@ def test_sample_cli_from_orbax_dir(h5, tmp_path):
                  "--output-dir", out])
     pdbs = os.listdir(out)
     assert len(pdbs) == 8 and all(p.endswith(".pdb") for p in pdbs)
+
+
+def test_orbax_restore_flag_mismatch_names_cause(h5, tmp_path):
+    """Resuming an orbax checkpoint with a different --grad-accum wraps the
+    optimizer chain in MultiSteps, changing the opt_state pytree structure;
+    the CLI must fail with a message naming the optimizer-chain flags, not a
+    raw tree-structure traceback (ADVICE r3)."""
+    from pmhc_tpu.cli.train_cli import main
+
+    model = str(tmp_path / "mm.pth")
+    orbax = str(tmp_path / "orbax_mm")
+    base = [h5, "1", model, "-T", "6", "--batch-size", "2",
+            "--orbax-dir", orbax]
+    main(base)
+    assert sorted(os.listdir(orbax)), "no orbax checkpoints written"
+
+    with pytest.raises(SystemExit) as ei:
+        main(base + ["--grad-accum", "2"])
+    msg = str(ei.value)
+    assert "--grad-accum" in msg and "orbax" in msg.lower()

@@ -380,8 +380,6 @@ def test_grad_accum_matches_manual_mean_gradient(batch):
     micro-steps' (key, grad) sequence by hand through a fresh Adam."""
     import optax
 
-    from pmhc_tpu.train.trainer import _build_step_fn
-
     cfg = TrainConfig(seed=17, grad_accum=2)
     trainer = Trainer(MODEL_CONFIG, DIFF_CONFIG, cfg)
     p0 = trainer.params
