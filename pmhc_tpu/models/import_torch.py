@@ -129,19 +129,111 @@ def import_torch_checkpoint(path: str) -> Dict[str, Any]:
     return params
 
 
+def _save_state_dict_no_torch(state: Dict[str, np.ndarray], path: str) -> None:
+    """Write a torch-zip .pth state_dict WITHOUT importing torch.
+
+    Inverse of :func:`_load_state_dict_no_torch`: emits the same stable
+    public layout the reference's ``torch.save(model.state_dict())``
+    produces (``/root/reference/optimize.py:76,79``) — a STORED zip with
+    ``<stem>/data.pkl`` (protocol-2 pickle, tensors as persistent-id
+    references) plus ``<stem>/data/<i>`` little-endian storage bytes,
+    ``byteorder`` and ``version`` members. The pickle stream is built
+    opcode-by-opcode and restricted to the opcode subset torch's
+    weights-only unpickler accepts (PROTO/GLOBAL/BINUNICODE/BININT*/
+    MARK/TUPLE/BINPERSID/NEWFALSE/EMPTY_TUPLE/REDUCE/SETITEMS/STOP), so
+    ``torch.load(..., weights_only=True)`` — and the reference's own
+    ``test.py:48`` load — consume it directly. float32 contiguous
+    tensors only (all 48 reference tensors are)."""
+    import struct
+    import zipfile
+
+    np_dtypes = {
+        np.dtype(np.float32): "FloatStorage",
+        np.dtype(np.float64): "DoubleStorage",
+        np.dtype(np.float16): "HalfStorage",
+        np.dtype(np.int64): "LongStorage",
+        np.dtype(np.int32): "IntStorage",
+        np.dtype(np.bool_): "BoolStorage",
+    }
+
+    out = bytearray()
+
+    def put_str(s: str) -> None:
+        b = s.encode("utf-8")
+        out.extend(b"X" + struct.pack("<I", len(b)) + b)
+
+    def put_int(i: int) -> None:
+        if 0 <= i < 256:
+            out.extend(b"K" + bytes([i]))
+        elif 0 <= i < 65536:
+            out.extend(b"M" + struct.pack("<H", i))
+        else:
+            out.extend(b"J" + struct.pack("<i", i))
+
+    out.extend(b"\x80\x02")  # PROTO 2
+    # empty OrderedDict (GLOBAL + EMPTY_TUPLE + REDUCE), then SETITEMS
+    out.extend(b"ccollections\nOrderedDict\n)R(")
+    arrays = []
+    for i, (name, arr) in enumerate(state.items()):
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype not in np_dtypes:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name}")
+        arrays.append(arr)
+        put_str(name)
+        out.extend(b"ctorch._utils\n_rebuild_tensor_v2\n(")
+        # persistent id ('storage', <StorageClass>, key, 'cpu', numel)
+        out.extend(b"(")
+        put_str("storage")
+        out.extend(b"ctorch\n" + np_dtypes[arr.dtype].encode() + b"\n")
+        put_str(str(i))
+        put_str("cpu")
+        put_int(arr.size)
+        out.extend(b"tQ")  # TUPLE, BINPERSID
+        put_int(0)  # storage_offset
+        out.extend(b"(")  # size
+        for s in arr.shape:
+            put_int(s)
+        out.extend(b"t(")  # stride (contiguous)
+        acc, strides = 1, []
+        for s in reversed(arr.shape):
+            strides.insert(0, acc)
+            acc *= s
+        for s in strides:
+            put_int(s)
+        out.extend(b"t")
+        out.extend(b"\x89")  # requires_grad = False
+        out.extend(b"ccollections\nOrderedDict\n)R")  # backward hooks
+        out.extend(b"tR")  # close args tuple, REDUCE
+    out.extend(b"u.")  # SETITEMS, STOP
+
+    import os
+
+    stem = os.path.splitext(os.path.basename(path))[0] or "archive"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr(f"{stem}/data.pkl", bytes(out))
+        zf.writestr(f"{stem}/byteorder", "little")
+        for i, arr in enumerate(arrays):
+            zf.writestr(
+                f"{stem}/data/{i}",
+                arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes(),
+            )
+        zf.writestr(f"{stem}/version", "3\n")
+
+
 def export_torch_checkpoint(params: Dict[str, Any], path: str) -> None:
     """Write a params pytree as a reference-format .pth state_dict, so
-    models trained on TPU can be consumed by reference tooling."""
-    import torch
-
-    state = {}
+    models trained on TPU can be consumed by reference tooling
+    (``/root/reference/test.py:48`` ``torch.load`` + strict
+    ``load_state_dict``). torch-free: the train CLI checkpoints every
+    100 batches (reference semantics) without ever importing torch."""
+    state: Dict[str, np.ndarray] = {}
     rev = {v: k for k, v in _MLP_NAMES.items()}
     for layer_name, layer in params.items():
         for mlp_key, mlp in layer.items():
             seq = {"lin1": "0", "lin2": "2"}
             for lin_key, lin in mlp.items():
-                w = np.asarray(lin["w"]).T
-                b = np.asarray(lin["b"])
-                state[f"{layer_name}.{rev[mlp_key]}.{seq[lin_key]}.weight"] = torch.tensor(w)
-                state[f"{layer_name}.{rev[mlp_key]}.{seq[lin_key]}.bias"] = torch.tensor(b)
-    torch.save(state, path)
+                w = np.asarray(lin["w"], dtype=np.float32).T
+                b = np.asarray(lin["b"], dtype=np.float32)
+                state[f"{layer_name}.{rev[mlp_key]}.{seq[lin_key]}.weight"] = w
+                state[f"{layer_name}.{rev[mlp_key]}.{seq[lin_key]}.bias"] = b
+    _save_state_dict_no_torch(state, path)
