@@ -66,6 +66,11 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-samples", type=int, default=16,
                    help="cap on ?samples=N per request")
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="bound on undispatched queued requests; beyond it "
+                        "POST /sample returns 503 + Retry-After instead of "
+                        "growing the backlog (default: 8x batch size; "
+                        "0 = unbounded)")
     p.add_argument("--aot", default=None, metavar="FILE",
                    help="AOT sampler artifact (pmhc_tpu.aot): load FILE "
                         "if it exists (skipping trace+lowering; the "
@@ -100,7 +105,9 @@ def _load_params(model_path: str, noise_step_count: int, backend: str):
 def create_server(args) -> ThreadingHTTPServer:
     """Build the warm service + HTTP server (separated from ``main`` so
     tests can drive the server lifecycle in-process)."""
-    from pmhc_tpu.serve import BatchingSampler, SamplerService, frame_models
+    from pmhc_tpu.serve import (
+        BatchingSampler, Overloaded, SamplerService, frame_models,
+    )
 
     params = _load_params(args.model, args.T, args.backend)
     service = SamplerService(
@@ -127,7 +134,10 @@ def create_server(args) -> ThreadingHTTPServer:
         from pmhc_tpu.aot import save_sampler
 
         save_sampler(service, args.aot)
-    batcher = BatchingSampler(service, max_wait_ms=args.max_wait_ms)
+    max_queue = (8 * service.batch_size if args.max_queue is None
+                 else args.max_queue or None)
+    batcher = BatchingSampler(service, max_wait_ms=args.max_wait_ms,
+                              max_queue=max_queue)
     health = {
         "status": "ok",
         "backend": service.backend,
@@ -136,6 +146,7 @@ def create_server(args) -> ThreadingHTTPServer:
         "sample_steps": args.sample_steps or args.T,
         "precision": ("bf16" if args.bf16
                       else "fast-f32" if args.fast_f32 else "f32"),
+        "max_queue": max_queue,
     }
     max_samples = args.max_samples
 
@@ -187,7 +198,17 @@ def create_server(args) -> ThreadingHTTPServer:
             except Exception as e:  # noqa: BLE001 — client error
                 self._json(400, {"error": f"body is not a readable npz: {e}"})
                 return
-            futures = [batcher.submit(entry) for _ in range(n_samples)]
+            try:
+                futures = [batcher.submit(entry) for _ in range(n_samples)]
+            except Overloaded as e:
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             try:
                 pdbs = [f.result(timeout=RESULT_TIMEOUT_S) for f in futures]
             except ValueError as e:

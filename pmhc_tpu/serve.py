@@ -297,6 +297,13 @@ class SamplerService:
         return time.monotonic() - t0
 
 
+class Overloaded(RuntimeError):
+    """Raised by :meth:`BatchingSampler.submit` when the pending-request
+    queue is at ``max_queue`` — the fail-fast overload signal (the HTTP
+    front-end maps it to 503 + Retry-After rather than letting queue
+    growth eat memory and blow every later request's latency)."""
+
+
 class BatchingSampler:
     """Thread-safe micro-batching front over a :class:`SamplerService`.
 
@@ -305,10 +312,19 @@ class BatchingSampler:
     batches (dispatching as soon as the batch is full or the oldest
     queued request has waited ``max_wait_ms``); a finisher thread
     fetches + serializes batch k while the device samples batch k+1.
+
+    Overload behavior: at most two dispatched batches are in flight
+    (the ``maxsize=2`` done queue blocks the collector until the
+    finisher drains), and ``max_queue`` bounds the undispatched backlog
+    — beyond it ``submit`` raises :class:`Overloaded` immediately.
+    ``close()`` drains: every future already accepted is resolved
+    (result or exception) before the worker threads exit.
     """
 
-    def __init__(self, service: SamplerService, max_wait_ms: float = 25.0):
+    def __init__(self, service: SamplerService, max_wait_ms: float = 25.0,
+                 max_queue: int | None = None):
         self.service = service
+        self.max_queue = max_queue
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._done: "queue.Queue" = queue.Queue(maxsize=2)  # backpressure
@@ -324,6 +340,9 @@ class BatchingSampler:
     def submit(self, entry: Dict[str, np.ndarray]) -> Future:
         if self._closed.is_set():
             raise RuntimeError("BatchingSampler is closed")
+        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+            raise Overloaded(
+                f"pending queue at max_queue={self.max_queue}; retry later")
         fut: Future = Future()
         try:
             entry = validate_entry(entry)
