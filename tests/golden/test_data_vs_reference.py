@@ -23,6 +23,13 @@ from pmhc_tpu.data.loader import PrefetchLoader, collate  # noqa: E402
 
 @pytest.fixture(scope="module")
 def h5_path(tmp_path_factory):
+    import os
+
+    # real-data runbook hook (docs/realdata.md A.2): point the whole
+    # golden suite at a real SwiftMHC export instead of the generator
+    real = os.environ.get("PMHC_GOLDEN_HDF5")
+    if real:
+        return real
     path = str(tmp_path_factory.mktemp("data") / "synthetic.hdf5")
     write_synthetic_hdf5(
         path, n_entries=5, peptide_lengths=(8, 9, 10, 11, 16), protein_len=100,

@@ -32,6 +32,10 @@ def main():
                     help="3-pass f32 matmuls (lax HIGH in XLA stages; "
                          "bf16 hi/lo split dots inside the kernels) "
                          "instead of the parity-exact ~6-pass HIGHEST")
+    ap.add_argument("--inner-size", type=int, default=64,
+                    help="I: scaled-model probes (reference 64)")
+    ap.add_argument("--message-size", type=int, default=64,
+                    help="M: scaled-model probes (reference 64)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -57,6 +61,8 @@ def main():
             noise_step_count=args.T,
             backend="pallas_lane"
             if backend in ("lane_scan", "g8_scan") else backend,
+            inner_size=args.inner_size,
+            message_size=args.message_size,
         )
         params = init_score_network(jax.random.key(0), mc)
         from pmhc_tpu.models.nn import DEFAULT_PRECISION

@@ -44,17 +44,33 @@ def layer_flops(B, N=16, P=80, H=23, T=64, M=64, O=64, E=31):
     return f
 
 
-def forward_flops(B):
-    """Two layers: H=23 -> O=64, then H=64 -> O=1 (model.py:370-371)."""
-    return layer_flops(B, H=23, O=64) + layer_flops(B, H=64, O=1)
+def forward_flops(B, I=64, M=64):
+    """Two layers: H=23 -> O=I, then H=I -> O=1 (model.py:370-371).
+    ``I``/``M`` generalize to scaled score networks
+    (ScoreNetworkConfig.inner_size / message_size)."""
+    return (layer_flops(B, H=23, T=I, M=M, O=I)
+            + layer_flops(B, H=I, T=I, M=M, O=1))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--inner-size", type=int, default=64)
+    ap.add_argument("--message-size", type=int, default=64)
     args = ap.parse_args()
 
     B = args.batch
+    if (args.inner_size, args.message_size) != (64, 64):
+        # scaled-dims accounting only (the measured table below is
+        # reference-dims); used by the docs/status.md MFU-vs-dims table
+        fwd = forward_flops(B, args.inner_size, args.message_size)
+        print(json.dumps({
+            "batch": B, "inner_size": args.inner_size,
+            "message_size": args.message_size,
+            "forward_gflops": round(fwd / 1e9, 2),
+            "train_step_gflops": round(3 * fwd / 1e9, 2),
+        }))
+        return
     fwd = forward_flops(B)
     train = 3 * fwd  # bwd ~ 2x fwd for matmul-dominated graphs
     print(json.dumps({
