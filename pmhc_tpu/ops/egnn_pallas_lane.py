@@ -185,7 +185,8 @@ def _qmul_rows(q1, q2):
     )
 
 
-def _make_kernel(k: int, bf16=False, unroll: int = 4):
+def _make_kernel(k: int, bf16=False, unroll: int = 4,
+                 headpack: bool = False):
     """Kernel for cells of k consecutive query residues x all batches.
 
     ``bf16``: True runs the MLP matmuls with bf16 MXU inputs and f32
@@ -232,7 +233,7 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
         out_feat_ref,  # [O, BNB]
     ):
         NP = aj_ref.shape[0]
-        Th = whm_ref.shape[-1]   # message hidden width (relu(pre) rows)
+        Th = wfm2_ref.shape[-1]  # message hidden width (relu(pre) rows)
         BNB = h_ref.shape[-1]
 
         h = h_ref[:]
@@ -242,7 +243,15 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
 
         # per-node terms, computed once per cell
         a_i = _mm(wmi_ref[:], h) + bm1_ref[:]    # [T, BNB]
-        tor_node = _mm(wtt_ref[:], tors_ref[:])  # [T, BNB]
+        if headpack:
+            # HEADPACK (see egnn_pallas_lane_g8.pack_headmm_ext): whm_ref
+            # holds the extended [4T, Th+21] matrix; the raw torsion rows
+            # and a ones row join the per-neighbour ext operand
+            tors_rows = tors_ref[:]              # [14, BNB]
+            ones_row = jnp.ones((1, BNB), F32)
+            tor_node = None
+        else:
+            tor_node = _mm(wtt_ref[:], tors_ref[:])  # [T, BNB]
 
         def expand(block):
             """[C, Bp] neighbour block -> [C, BNB]: the same block for
@@ -269,9 +278,6 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
             qdot2 = jnp.square(qdot)
 
             T = whm_ref.shape[0] // 4
-            # message lin2 folded into the head lin1 (whm = wheads @ wm2):
-            # one matmul from relu(pre) straight to the four heads
-            heads = _mm(whm_ref[:], hid)  # [4T, BNB]
 
             # rotation geometry (feeds the rot section's extra term)
             conj_qj = jnp.concatenate((q_j[0:1], -q_j[1:]), axis=0)
@@ -283,17 +289,32 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4):
             )
             local_q = _qmul_rows(inv_qj, _qmul_rows(q_i, q_j))  # [4, BNB]
 
-            # the four heads' pre-activations as ONE [4T, BNB] tensor,
-            # one relu, one fused block-diagonal lin2 matmul (W2ALL)
-            pre_heads = heads + jnp.concatenate(
-                (
-                    wad_ref[:] * (-d2) + waq_ref[:] * qdot2 + ba1_ref[:],
-                    _mm(wrq_ref[:], local_q) + br1_ref[:],
-                    tor_node + bt1_ref[:],
-                    jnp.broadcast_to(bl1_ref[:], (T, BNB)),
-                ),
-                axis=0,
-            )
+            if headpack:
+                # ONE extended-contraction matmul produces pre_heads
+                # (pack_headmm_ext layout; the rot K=4 matmul, attention
+                # rank-1 terms, biases and torsion term ride the same
+                # MXU pass — contraction 85 <= 128)
+                ext = jnp.concatenate(
+                    (hid, local_q, -d2, qdot2, ones_row, tors_rows),
+                    axis=0,
+                )
+                pre_heads = _mm(whm_ref[:], ext)  # [4T, BNB]
+            else:
+                # message lin2 folded into the head lin1 (whm =
+                # wheads @ wm2): one matmul from relu(pre) to the heads
+                heads = _mm(whm_ref[:], hid)  # [4T, BNB]
+                # the four heads' pre-activations as ONE [4T, BNB]
+                # tensor, one relu, one fused block-diag lin2 (W2ALL)
+                pre_heads = heads + jnp.concatenate(
+                    (
+                        wad_ref[:] * (-d2) + waq_ref[:] * qdot2
+                        + ba1_ref[:],
+                        _mm(wrq_ref[:], local_q) + br1_ref[:],
+                        tor_node + bt1_ref[:],
+                        jnp.broadcast_to(bl1_ref[:], (T, BNB)),
+                    ),
+                    axis=0,
+                )
             out_all = _mm(w2all_ref[:], jnp.maximum(pre_heads, 0.0)) \
                 + b2all_ref[:]                          # [32, BNB]
             logits = out_all[0:1] - (1.0 - mask) * INFINITY  # [1, BNB]
@@ -476,12 +497,22 @@ def egnn_lane_core(
     interpret: bool = False,
     bf16: bool = False,
     unroll: int = 4,
+    headpack: bool | None = None,
 ):
     """The fused-layer pallas_call on ALREADY lane-transposed operands.
 
     Returns lane-layout outputs (q, t, sin, cos, feat) — the building
     block the lane-layout sampler scans over without ever leaving the
     lane layout (pmhc_tpu/diffusion/sampler_lane.py)."""
+    if headpack is None:
+        import os
+
+        headpack = bool(int(os.environ.get("PMHC_G8_HEADPACK", "1")))
+    if headpack:
+        from pmhc_tpu.ops.egnn_pallas_lane_g8 import pack_headmm_ext
+
+        weights = list(weights)
+        weights[2] = pack_headmm_ext(weights)  # whm slot -> whm_ext
     NP = aj3.shape[0]
     T = weights[0].shape[0]
     H = h.shape[0]
@@ -516,7 +547,7 @@ def egnn_lane_core(
     )
 
     return pl.pallas_call(
-        _make_kernel(k, bf16, unroll),
+        _make_kernel(k, bf16, unroll, headpack),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

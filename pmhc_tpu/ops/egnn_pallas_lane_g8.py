@@ -137,7 +137,45 @@ def _lane8(x):
     return x
 
 
-def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
+def pack_headmm_ext(weights: list) -> jnp.ndarray:
+    """HEADPACK probe (VERDICT r3 next #5): extend the fused head-lin1
+    matrix so ONE matmul produces the full per-group ``pre_heads``.
+
+    The forward budget shows ``headmm`` ([4T, M] @ relu(pre), contraction
+    M=64) at ~1.6x its bf16 MXU floor — a K<=128 contraction pays a full
+    MXU pass regardless of depth, so the unused contraction rows are
+    free. This folds INTO that same pass: the rotation head's separate
+    K=4 matmul (``wrq @ local_quats`` — its own full pass), the
+    attention head's rank-1 VPU terms (``wad*(-d2) + waq*qdot^2``), all
+    four head biases (rank-1 vs a ones row), and the torsion head's
+    node-constant term (``wtt @ torsions``), eliminating one MXU pass,
+    the [4T, W8] four-block concat, and the VPU broadcasts per group:
+
+        whm_ext [4T, M+21] = [whm | wrq@rot-rows | wad | waq | b | wtt]
+        ext8    [M+21, W8] = [relu(pre); local_quats; -d2; qdot^2; 1; tors]
+        pre_heads = whm_ext @ ext8          (contraction 85 <= 128)
+
+    Exact in f32-HIGHEST up to dot reassociation (~1e-6 rel, same class
+    as the pack-time whm fold); in bf16 mode the folded operands round
+    to bf16 like every other matmul operand in that mode."""
+    (_wmi, _bm1, whm, wad, waq, ba1, _w2all, _b2all, _wfh, _wfm2, _bf1,
+     _wf2, _bf2, bl1, wrq, br1, wtt, bt1) = weights
+    T4 = whm.shape[0]
+    T = T4 // 4
+    z = lambda r, c: jnp.zeros((r, c), F32)
+    wrq_blk = jnp.concatenate((z(T, 4), wrq, z(2 * T, 4)), axis=0)
+    wad_col = jnp.concatenate((wad, z(3 * T, 1)), axis=0)
+    waq_col = jnp.concatenate((waq, z(3 * T, 1)), axis=0)
+    bias_col = jnp.concatenate(
+        (ba1, br1, bt1, jnp.broadcast_to(bl1, (T, 1))), axis=0)
+    wtt_blk = jnp.concatenate(
+        (z(2 * T, 2 * N_TORSIONS), wtt, z(T, 2 * N_TORSIONS)), axis=0)
+    return jnp.concatenate(
+        (whm, wrq_blk, wad_col, waq_col, bias_col, wtt_blk), axis=1)
+
+
+def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1,
+                    headpack: bool = False):
     _mm, _mm0 = _mm_maker(bf16)
     abl = ABLATE_STAGES  # timing-only stage ablation (see definition)
 
@@ -172,7 +210,7 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
         out_q_ref, out_t_ref, out_sin_ref, out_cos_ref, out_feat_ref,
     ):
         NG = qjg_cm_ref.shape[0]
-        Th = whm_ref.shape[-1]   # message hidden width (relu(pre) rows)
+        Th = wfm2_ref.shape[-1]  # message hidden width (relu(pre) rows)
         T = whm_ref.shape[0] // 4
         BNB = qi_ref.shape[-1]
 
@@ -181,7 +219,14 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
 
         # hoisted per-cell tensors (node-width compute, then replicate)
         a_i8 = _lane8(_mm(wmi_ref[:], h_ref[:]) + bm1_ref[:])  # [T, BNB8]
-        tor_node8 = _lane8(_mm(wtt_ref[:], tors_ref[:]))       # [T, BNB8]
+        if headpack:
+            # node-constant rows of the HEADPACK ext operand (torsions +
+            # the bias ones-row); the wtt matmul rides whm_ext instead
+            tors8 = _lane8(tors_ref[:])                        # [14, BNB8]
+            ones8 = jnp.ones((1, G * BNB), F32)
+            tor_node8 = None
+        else:
+            tor_node8 = _lane8(_mm(wtt_ref[:], tors_ref[:]))   # [T, BNB8]
         q_i8 = _lane8(qi_ref[:])
         t_i8 = _lane8(ti_ref[:])
         qi_cm = _mm(t4q, qi_ref[:])                            # [32, BNB]
@@ -235,38 +280,58 @@ def _make_kernel_g8(k: int, bf16: bool = False, unroll: int = 1):
             d2 = jnp.sum(jnp.square(tdiff), axis=0, keepdims=True)
             qdot = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
 
-            # message lin2 folded into the head lin1 (whm = wheads@wm2)
-            heads8 = (pltpu.repeat(hid8, 4, axis=0) if "headmm" in abl
-                      else _mm(whm_ref[:], hid8))         # [4T, BNB8]
-
-            # ---- rotation geometry, component-major ------------------
-            W8 = heads8.shape[-1]
-            if "rotcm" in abl:  # timing ablation: wrong outputs
-                rot_pre = tor_node8
-            else:
+            if headpack:
+                # HEADPACK probe: rotation geometry first (its local
+                # quats are contraction rows of the one fused matmul)
                 qj_cm = rep(qjg_cm_ref[g])                # [32, BNB]
-                # exact-zero guard: batch-PADDING lanes carry zero quats
-                # and 0/0 NaNs would trip jax_debug_nans (and persist in
-                # the g8 sampler's scan carry) even though padded lanes
-                # are sliced off — same guard as the VJP twin (_g8_ctx)
                 sq = jnp.maximum(
                     _mm(rsq, jnp.square(qj_cm)), 1e-30)   # [8, BNB]
                 conj = jnp.concatenate((qj_cm[0:8], -qj_cm[8:32]), axis=0)
                 inv_cm = conj / _mm(t4, sq)               # [32, BNB]
                 local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
-                rot_pre = _mm(wrq_ref[:], cm_to_lane(local_cm)) + br1_ref[:]
+                ext8 = jnp.concatenate(
+                    (hid8, cm_to_lane(local_cm), -d2, qdot * qdot,
+                     ones8, tors8), axis=0)               # [Th+21, BNB8]
+                # whm_ref holds whm_ext: heads + rot/att/bias/torsion
+                # terms in ONE contraction<=128 MXU pass (pack_headmm_ext)
+                pre_heads = _mm(whm_ref[:], ext8)         # [4T, BNB8]
+                W8 = pre_heads.shape[-1]
+            else:
+                # message lin2 folded into the head lin1 (whm = wheads@wm2)
+                heads8 = (pltpu.repeat(hid8, 4, axis=0) if "headmm" in abl
+                          else _mm(whm_ref[:], hid8))     # [4T, BNB8]
 
-            # the four heads' pre-activations as ONE [4T, BNB8] tensor,
-            # one relu, one fused block-diagonal lin2 matmul (W2ALL)
-            pre_heads = heads8 + jnp.concatenate(
-                (
-                    wad * (-d2) + waq * jnp.square(qdot) + ba1_ref[:],
-                    rot_pre,
-                    tor_node8 + bt1_ref[:],
-                    jnp.broadcast_to(bl1_ref[:], (T, W8)),
-                ),
-                axis=0,
-            )
+                # ---- rotation geometry, component-major --------------
+                W8 = heads8.shape[-1]
+                if "rotcm" in abl:  # timing ablation: wrong outputs
+                    rot_pre = tor_node8
+                else:
+                    qj_cm = rep(qjg_cm_ref[g])            # [32, BNB]
+                    # exact-zero guard: batch-PADDING lanes carry zero
+                    # quats and 0/0 NaNs would trip jax_debug_nans (and
+                    # persist in the g8 sampler's scan carry) even though
+                    # padded lanes are sliced off — same guard as the VJP
+                    # twin (_g8_ctx)
+                    sq = jnp.maximum(
+                        _mm(rsq, jnp.square(qj_cm)), 1e-30)   # [8, BNB]
+                    conj = jnp.concatenate(
+                        (qj_cm[0:8], -qj_cm[8:32]), axis=0)
+                    inv_cm = conj / _mm(t4, sq)           # [32, BNB]
+                    local_cm = _qmul_cm(inv_cm, _qmul_cm(qi_cm, qj_cm))
+                    rot_pre = (_mm(wrq_ref[:], cm_to_lane(local_cm))
+                               + br1_ref[:])
+
+                # the four heads' pre-activations as ONE [4T, BNB8]
+                # tensor, one relu, one fused block-diagonal lin2 matmul
+                pre_heads = heads8 + jnp.concatenate(
+                    (
+                        wad * (-d2) + waq * jnp.square(qdot) + ba1_ref[:],
+                        rot_pre,
+                        tor_node8 + bt1_ref[:],
+                        jnp.broadcast_to(bl1_ref[:], (T, W8)),
+                    ),
+                    axis=0,
+                )
             out_all = (pre_heads[0:32] if "head2mm" in abl else
                        _mm(w2all_ref[:], jnp.maximum(pre_heads, 0.0))
                        + b2all_ref[:])                     # [32, BNB8]
@@ -416,6 +481,7 @@ def egnn_lane8_core(
     bf16: bool = False,
     unroll: int = 1,
     batch_grid: bool = False,
+    headpack: bool | None = None,
 ):
     """The geom8 pallas_call on already-transposed operands — the same
     operand set as ``egnn_lane_core`` plus the component-major neighbour
@@ -429,6 +495,22 @@ def egnn_lane8_core(
     k == N) — only the resident/qjg/edge index maps differ. This
     replaces lax.map batch chunking so Mosaic pipelines chunk HBM
     transfers against compute (same win as the vjp batch-grid)."""
+    if headpack is None:
+        # default ON: measured 408.0 vs 371.5 samples/s (+9.9%) at bf16
+        # B=1024 T=1000 on-chip, window-controlled (docs/status.md r4);
+        # PMHC_G8_HEADPACK=0 restores the separate-stage kernel (the
+        # stage-ablation budget tooling is wired for that one, so
+        # ablation runs fall back automatically)
+        import os
+
+        headpack = (not ABLATE_STAGES
+                    and bool(int(os.environ.get("PMHC_G8_HEADPACK", "1"))))
+    if headpack:
+        if ABLATE_STAGES:
+            raise ValueError("stage ablation is only wired for the "
+                             "non-headpack kernel (set PMHC_G8_HEADPACK=0)")
+        weights = list(weights)
+        weights[2] = pack_headmm_ext(weights)  # whm slot -> whm_ext
     NP = aj3.shape[0]
     NG = NP // G
     T = weights[0].shape[0]
@@ -468,7 +550,7 @@ def egnn_lane8_core(
     )
 
     return pl.pallas_call(
-        _make_kernel_g8(k, bf16, unroll),
+        _make_kernel_g8(k, bf16, unroll, headpack),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

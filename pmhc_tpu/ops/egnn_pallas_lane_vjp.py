@@ -92,9 +92,9 @@ _mm_maker = mm_maker
 
 
 def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
-                     aj, qj, tj, edge_kT, mask, s_mat):
+                     aj, qj, tj, edge_kT, mask, s_mat, headpack_ctx=None):
     """Forward intermediates for one neighbour index (shared by the fwd
-    kernel and the bwd recompute)."""
+    kernel and the bwd recompute). ``headpack_ctx``: see _g8_ctx."""
     edge_exp = _mm0(edge_kT, s_mat)
     pre = a_i + expand(aj) + edge_exp
     hid_m = jnp.maximum(pre, 0.0)
@@ -105,8 +105,6 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     d2 = jnp.sum(jnp.square(t_i - t_j), axis=0, keepdims=True)
     qdot = jnp.sum(q_i * q_j, axis=0, keepdims=True)
     T = w["whm"].shape[0] // 4
-    # message lin2 folded into the head lin1 (whm = wheads @ wm2)
-    heads = _mm(w["whm"], hid_m)  # [4T, BNB]: att | rot | tor | transl
 
     # exact-zero guard: batch-PADDING lanes carry zero quats, and 0/0
     # NaNs would poison the backward's lane-reduction weight grads even
@@ -117,17 +115,27 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
     v = _qmul_rows(q_i, q_j)
     local_q = _qmul_rows(inv_qj, v)
 
-    # fused head pre-activations + ONE block-diagonal lin2 (w2all)
-    BNB = heads.shape[-1]
-    pre_heads = heads + jnp.concatenate(
-        (
-            w["wad"] * (-d2) + w["waq"] * jnp.square(qdot) + w["ba1"],
-            _mm(w["wrq"], local_q) + w["br1"],
-            tor_node + w["bt1"],
-            jnp.broadcast_to(w["bl1"], (T, BNB)),
-        ),
-        axis=0,
-    )
+    if headpack_ctx is not None:
+        wext, tors_rows, ones_row = headpack_ctx
+        ext = jnp.concatenate(
+            (hid_m, local_q, -d2, jnp.square(qdot), ones_row, tors_rows),
+            axis=0,
+        )
+        pre_heads = _mm(wext, ext)  # [4T, BNB]
+    else:
+        # message lin2 folded into the head lin1 (whm = wheads @ wm2)
+        heads = _mm(w["whm"], hid_m)  # [4T, BNB]: att | rot | tor | tr
+        # fused head pre-activations + ONE block-diagonal lin2 (w2all)
+        BNB = heads.shape[-1]
+        pre_heads = heads + jnp.concatenate(
+            (
+                w["wad"] * (-d2) + w["waq"] * jnp.square(qdot) + w["ba1"],
+                _mm(w["wrq"], local_q) + w["br1"],
+                tor_node + w["bt1"],
+                jnp.broadcast_to(w["bl1"], (T, BNB)),
+            ),
+            axis=0,
+        )
     relu_heads = jnp.maximum(pre_heads, 0.0)
     out_all = _mm(w["w2all"], relu_heads) + w["b2all"]  # [32, BNB]
     logit = out_all[0:1] - (1.0 - mask) * INFINITY
@@ -146,7 +154,8 @@ def _recompute_block(w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
                 mdelta=mdelta, mtr=mtr, mr=mr, mask=mask)
 
 
-def _make_loop_fwd(k: int, bf16: bool, unroll: int):
+def _make_loop_fwd(k: int, bf16: bool, unroll: int,
+                   headpack: bool = False):
     _mm, _mm0, _mmL = _mm_maker(bf16)
 
     def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
@@ -154,8 +163,11 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
                *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
+        nhp = 2 if headpack else 0
+        if headpack:  # extra trailing inputs: raw torsions + whm_ext
+            tor14_ref, wext_ref = w_then_out[len(_LOOP_W):len(_LOOP_W) + 2]
         (m_ref, d_ref, gd_ref, ta_ref, tr_ref, hid_ref, cnt_ref) = \
-            w_then_out[len(_LOOP_W):]
+            w_then_out[len(_LOOP_W) + nhp:]
         NP = aj_ref.shape[0]
         Th = w["whm"].shape[-1]   # message hidden width (relu(pre) rows)
         BNB = ai_ref.shape[-1]
@@ -165,6 +177,8 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
         q_i = qi_ref[:]
         t_i = ti_ref[:]
         s_mat = s_ref[:]
+        hp_ctx = ((wext_ref[:], tor14_ref[:], jnp.ones((1, BNB), F32))
+                  if headpack else None)
 
         def expand(block):
             return pltpu.repeat(block, k, axis=1) if k > 1 else block
@@ -174,7 +188,7 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
             r_ = _recompute_block(
                 w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
                 aj_ref[np_i], qj_ref[np_i], tj_ref[np_i], edge_ref[np_i],
-                mask_ref[np_i], s_mat,
+                mask_ref[np_i], s_mat, headpack_ctx=hp_ctx,
             )
             m_new = jnp.maximum(m_run, r_["logit"])
             r = jnp.exp(m_run - m_new)
@@ -220,7 +234,8 @@ def _make_loop_fwd(k: int, bf16: bool, unroll: int):
     return kernel
 
 
-def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
+def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False,
+                   headpack: bool = False):
     _mm, _mm0, _mmL = _mm_maker(bf16)
 
     def kernel(ai_ref, tor_ref, qi_ref, ti_ref,
@@ -229,7 +244,10 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
                *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
-        outs = w_then_out[len(_LOOP_W):]
+        nhp = 2 if headpack else 0
+        if headpack:  # extra trailing inputs: raw torsions + whm_ext
+            tor14_ref, wext_ref = w_then_out[len(_LOOP_W):len(_LOOP_W) + 2]
+        outs = w_then_out[len(_LOOP_W) + nhp:]
         (dai_ref, dtor_ref, dqi_ref, dti_ref,
          daj_ref, dqj_ref, dtj_ref, dedge_ref) = outs[:8]
         dw_refs = dict(zip(_LOOP_W, outs[8:]))
@@ -287,12 +305,15 @@ def _make_loop_bwd(k: int, bf16: bool, unroll: int, batch_grid: bool = False):
             ~6 passes — only the cotangent operand rounds."""
             return _mm(x, j_mat)
 
+        hp_ctx = ((wext_ref[:], tor14_ref[:], jnp.ones((1, BNB), F32))
+                  if headpack else None)
+
         def one(np_i, carry):
             (dai, dtor_node, dqi, dti, dw) = carry
             r_ = _recompute_block(
                 w, _mm, _mm0, expand, a_i, tor_node, q_i, t_i,
                 aj_ref[np_i], qj_ref[np_i], tj_ref[np_i], edge_ref[np_i],
-                mask_ref[np_i], s_mat,
+                mask_ref[np_i], s_mat, headpack_ctx=hp_ctx,
             )
             q_j, t_j = r_["q_j"], r_["t_j"]
             inv_qj, ld, v, u_q = r_["inv_qj"], r_["ld"], r_["v"], r_["u"]
@@ -454,8 +475,17 @@ def _conj_cm(q):
 
 def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
             a_i8, tor_node8, q_i8, t_i8, qi_cm,
-            aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat):
-    """Shared group recompute for the g8 fwd and bwd loop kernels."""
+            aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat,
+            headpack_ctx=None):
+    """Shared group recompute for the g8 fwd and bwd loop kernels.
+
+    ``headpack_ctx``: ``(wext, tors8, ones8)`` — when given, pre_heads8
+    is produced by the ONE extended-contraction matmul of the HEADPACK
+    layout (ops/egnn_pallas_lane_g8.pack_headmm_ext: the rotation-head
+    matmul, attention rank-1 terms, biases, and the torsion node term
+    fold into contraction rows 64..84), instead of the separate
+    heads8 matmul + wrq matmul + four-block concat. All residuals the
+    backward consumes (pre8/hid_m8/local8/pre_heads8/...) are unchanged."""
     from pmhc_tpu.ops.egnn_pallas_lane_g8 import G as G8
     from pmhc_tpu.ops.egnn_pallas_lane_g8 import _qmul_cm
 
@@ -496,8 +526,6 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         tdiff8 = t_i8 - t_j8
         d28 = jnp.sum(jnp.square(tdiff8), axis=0, keepdims=True)
         qdot8 = jnp.sum(q_i8 * q_j8, axis=0, keepdims=True)
-        # message lin2 folded into the head lin1 (whm = wheads @ wm2)
-        heads8 = _mm(w["whm"], hid_m8)
 
         qj_cm = rep(qjg_cm_ref[g])
         # exact-zero guard as in _recompute_block: padded lanes carry
@@ -509,17 +537,28 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
         local_cm = _qmul_cm(inv_cm, v_cm)
         local8 = cm_to_lane(local_cm)
 
-        # fused head pre-activations + ONE block-diagonal lin2 (w2all)
-        W8 = heads8.shape[-1]
-        pre_heads8 = heads8 + jnp.concatenate(
-            (
-                w["wad"] * (-d28) + w["waq"] * jnp.square(qdot8) + w["ba1"],
-                _mm(w["wrq"], local8) + w["br1"],
-                tor_node8 + w["bt1"],
-                jnp.broadcast_to(w["bl1"], (T, W8)),
-            ),
-            axis=0,
-        )
+        if headpack_ctx is not None:
+            wext, tors8, ones8 = headpack_ctx
+            ext8 = jnp.concatenate(
+                (hid_m8, local8, -d28, jnp.square(qdot8), ones8, tors8),
+                axis=0,
+            )
+            pre_heads8 = _mm(wext, ext8)                # [4T, BNB8]
+        else:
+            # message lin2 folded into the head lin1 (whm = wheads@wm2)
+            heads8 = _mm(w["whm"], hid_m8)
+            # fused head pre-activations + ONE block-diag lin2 (w2all)
+            W8 = heads8.shape[-1]
+            pre_heads8 = heads8 + jnp.concatenate(
+                (
+                    w["wad"] * (-d28) + w["waq"] * jnp.square(qdot8)
+                    + w["ba1"],
+                    _mm(w["wrq"], local8) + w["br1"],
+                    tor_node8 + w["bt1"],
+                    jnp.broadcast_to(w["bl1"], (T, W8)),
+                ),
+                axis=0,
+            )
         relu_heads8 = jnp.maximum(pre_heads8, 0.0)
         out_all8 = _mm(w["w2all"], relu_heads8) + w["b2all"]  # [32, BNB8]
         logit8 = out_all8[0:1] - (1.0 - mask8) * INFINITY
@@ -547,7 +586,8 @@ def _g8_ctx(w, _mm, _mm0, k, BNB, sel,
     return recompute, cm_to_lane, lane_to_cm
 
 
-def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
+def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int,
+                      headpack: bool = False):
     from pmhc_tpu.ops.egnn_pallas_lane_g8 import (
         _lane8, _sel_matrices, _tree_lane,
     )
@@ -559,8 +599,11 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
                s_ref, *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
+        nhp = 2 if headpack else 0
+        if headpack:  # extra trailing inputs: raw torsions + whm_ext
+            tor14_ref, wext_ref = w_then_out[len(_LOOP_W):len(_LOOP_W) + 2]
         (m_ref, d_ref, gd_ref, ta_ref, tr_ref, hid_ref, cnt_ref) = \
-            w_then_out[len(_LOOP_W):]
+            w_then_out[len(_LOOP_W) + nhp:]
         NP = aj_ref.shape[0]
         NG = NP // 8
         Th = w["whm"].shape[-1]
@@ -574,10 +617,13 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
         t_i8 = _lane8(ti_ref[:])
         qi_cm = _mm(t4q, qi_ref[:])
         s_mat = s_ref[:]
+        hp_ctx = ((wext_ref[:], _lane8(tor14_ref[:]),
+                   jnp.ones((1, 8 * BNB), F32)) if headpack else None)
 
         recompute, _, _ = _g8_ctx(
             w, _mm, _mm0, k, BNB, sel, a_i8, tor_node8, q_i8, t_i8, qi_cm,
             aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat,
+            headpack_ctx=hp_ctx,
         )
 
         def one(g, carry):
@@ -630,7 +676,7 @@ def _make_loop_fwd_g8(k: int, bf16: bool, unroll: int):
 
 
 def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
-                      batch_grid: bool = False):
+                      batch_grid: bool = False, headpack: bool = False):
     from pmhc_tpu.ops.egnn_pallas_lane_g8 import (
         G as G8, _lane8, _qmul_cm, _sel_matrices, _tree_lane,
     )
@@ -645,7 +691,10 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                *w_then_out):
         w = dict(zip(_LOOP_W, w_then_out[: len(_LOOP_W)]))
         w = {n: r[:] for n, r in w.items()}
-        outs = w_then_out[len(_LOOP_W):]
+        nhp = 2 if headpack else 0
+        if headpack:  # extra trailing inputs: raw torsions + whm_ext
+            tor14_ref, wext_ref = w_then_out[len(_LOOP_W):len(_LOOP_W) + 2]
+        outs = w_then_out[len(_LOOP_W) + nhp:]
         (dai_ref, dtor_ref, dqi_ref, dti_ref,
          daj_ref, dqj_ref, dtj_ref, dedge_ref) = outs[:8]
         dw_refs = dict(zip(_LOOP_W, outs[8:]))
@@ -694,9 +743,12 @@ def _make_loop_bwd_g8(k: int, bf16: bool, unroll: int,
                 for rr in dw_refs.values():
                     rr[:] = jnp.zeros(rr.shape, F32)
 
+        hp_ctx = ((wext_ref[:], _lane8(tor14_ref[:]),
+                   jnp.ones((1, 8 * BNB), F32)) if headpack else None)
         recompute, cm_to_lane, lane_to_cm = _g8_ctx(
             w, _mm, _mm0, k, BNB, sel, a_i8, tor_node8, q_i8, t_i8, qi_cm,
             aj_ref, qj_ref, tj_ref, qjg_cm_ref, edge_ref, mask_ref, s_mat,
+            headpack_ctx=hp_ctx,
         )
 
         def collapse(x):
@@ -883,7 +935,7 @@ def _cell_geometry(B, N, lane_block):
 @functools.lru_cache(maxsize=None)
 def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
              bf16: bool, unroll: int, interpret: bool, g8: bool = False,
-             batch_grid: bool = False):
+             batch_grid: bool = False, headpack: bool = False):
     """Build the custom-VJP neighbour loop for one static geometry.
 
     ``g8``: use the geom8 group kernels (8 neighbours per iteration,
@@ -930,8 +982,12 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         (lambda i: (0, 0, i)) if batch_grid else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM)
 
+    # headpack (g8 only): two extra inputs after the loop weights — the
+    # raw torsions lane tensor and the extended head matrix
+    hp_w = (4 * T, T + 21)
+
     def fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
-                 mask3, s_mat):
+                 mask3, s_mat, tor14, whm_ext):
         ncells = ai.shape[-1] // BNB
         in_specs = (
             [lane(T), lane(T), lane(4), lane(3),
@@ -939,6 +995,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             + ([cmgroups] if g8 else [])
             + [celledge, cellmask, const((k, BNB))]
             + [const(w_shapes[n]) for n in _LOOP_W]
+            + ([lane(2 * N_TORSIONS), const(hp_w)] if headpack else [])
         )
         out_specs = tuple(lane(c) for c in (1, 1, 4, N_TORSIONS, 3, T, 1))
         out_shape = tuple(
@@ -950,8 +1007,10 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             + ((qjg_cm,) if g8 else ())
             + (edge3, mask3, s_mat)
         )
+        hp_ops = (tor14, whm_ext) if headpack else ()
         return pl.pallas_call(
-            (_make_loop_fwd_g8 if g8 else _make_loop_fwd)(k, bf16, unroll),
+            (_make_loop_fwd_g8 if g8 else _make_loop_fwd)(
+                k, bf16, unroll, headpack),
             grid=(ncells,),  # residue cells, or batch chunks (batch_grid)
             in_specs=in_specs,
             out_specs=out_specs,
@@ -959,10 +1018,11 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(*operands, *[loop_w[n] for n in _LOOP_W])
+        )(*operands, *[loop_w[n] for n in _LOOP_W], *hp_ops)
 
     def bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
-                 mask3, s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_hid):
+                 mask3, s_mat, j_mat, m_fin, g_d, g_gd, g_ta, g_tr, g_hid,
+                 tor14, whm_ext):
         ncells = ai.shape[-1] // BNB
         in_specs = (
             [lane(T), lane(T), lane(4), lane(3),
@@ -972,6 +1032,7 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
                const((k, BNB)), const((BNB, Bp)),
                lane(1), lane(4), lane(N_TORSIONS), lane(3), lane(1), lane(T)]
             + [const(w_shapes[n]) for n in _LOOP_W]
+            + ([lane(2 * N_TORSIONS), const(hp_w)] if headpack else [])
         )
         out_specs = (
             lane(T), lane(T), lane(4), lane(3),      # dai, dtor, dqi, dti
@@ -998,9 +1059,10 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             + (edge3, mask3, s_mat, j_mat,
                m_fin, g_gd, g_ta, g_tr, g_d, g_hid)
         )
+        hp_ops = (tor14, whm_ext) if headpack else ()
         return pl.pallas_call(
             (_make_loop_bwd_g8 if g8 else _make_loop_bwd)(
-                k, bf16, unroll, batch_grid),
+                k, bf16, unroll, batch_grid, headpack),
             grid=(ncells,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1008,42 +1070,50 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(*operands, *[loop_w[n] for n in _LOOP_W])
+        )(*operands, *[loop_w[n] for n in _LOOP_W], *hp_ops)
 
     @jax.custom_vjp
     def loop(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3, mask3,
-             s_mat, j_mat):
+             s_mat, j_mat, tor14, whm_ext):
         return fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
-                        edge3, mask3, s_mat)
+                        edge3, mask3, s_mat, tor14, whm_ext)
 
     def loop_fwd(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
-                 mask3, s_mat, j_mat):
+                 mask3, s_mat, j_mat, tor14, whm_ext):
         outs = fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
-                        edge3, mask3, s_mat)
+                        edge3, mask3, s_mat, tor14, whm_ext)
         m = outs[0]
         res = (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,
-               mask3, s_mat, j_mat, m)
+               mask3, s_mat, j_mat, m, tor14, whm_ext)
         return outs, res
 
     def loop_bwd(res, cts):
         (loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3, mask3,
-         s_mat, j_mat, m) = res
+         s_mat, j_mat, m, tor14, whm_ext) = res
         # cotangents for (m, D, GD, TA, TR, HID, CNT); m/CNT carry none
         # by construction of the finalize (ratios are shift-invariant and
         # CNT only gates a boolean)
         _, g_d, g_gd, g_ta, g_tr, g_hid, _ = cts
         outs = bwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm,
                         edge3, mask3, s_mat, j_mat, m, g_d, g_gd, g_ta,
-                        g_tr, g_hid)
+                        g_tr, g_hid, tor14, whm_ext)
         dai, dtor, dqi, dti, daj, dqj, dtj, dedge = outs[:8]
         dw = dict(zip(_LOOP_W, outs[8:]))
         # the g8 kernels read q_all through BOTH qj3 and qjg_cm; the
         # hand-written backward merges the full gradient into the dqj
-        # output (routed via qj3), so qjg_cm's cotangent is zero
+        # output (routed via qj3), so qjg_cm's cotangent is zero.
+        # tor14/whm_ext (headpack) also carry ZERO cotangent: the kernel's
+        # dependence on them is mathematically identical to its dependence
+        # through tor (= tors @ wtt) and the original loop weights, where
+        # the full gradient is already declared — dtor accumulates
+        # d(pre_heads rot/tor rows) and dw the per-weight outer products,
+        # and the OUTER autodiff (tor_node = tors@wtt, whm_ext concat)
+        # routes them onto the parameters exactly once.
         return (dw, dai, dtor, dqi, dti, daj, dqj, dtj,
                 jnp.zeros_like(qjg_cm), dedge,
                 jnp.zeros_like(mask3), jnp.zeros_like(s_mat),
-                jnp.zeros_like(j_mat))
+                jnp.zeros_like(j_mat), jnp.zeros_like(tor14),
+                jnp.zeros_like(whm_ext))
 
     loop.defvjp(loop_fwd, loop_bwd)
     return loop
@@ -1093,6 +1163,13 @@ def egnn_forward_pallas_lane_vjp(
     CHUNK = chunk if chunk is not None else (64 if g8 else 128)
     if g8:
         unroll = int(os.environ.get("PMHC_G8_UNROLL", "1"))
+    # HEADPACK: one extended-contraction matmul produces the
+    # per-group pre_heads in the loop kernels' recompute (see
+    # egnn_pallas_lane_g8.pack_headmm_ext; measured +9.9% on the
+    # forward-only kernel). PMHC_G8_HEADPACK=0 restores the
+    # separate-stage recompute (the ablation budget tooling needs it).
+    headpack = (not ABLATE_STAGES
+                and bool(int(os.environ.get("PMHC_G8_HEADPACK", "1"))))
     batch_grid = False
     if B > CHUNK:
         # batch-grid needs a single residue cell per chunk AND a lane-
@@ -1240,18 +1317,41 @@ def egnn_forward_pallas_lane_vjp(
         qjg_cm = jnp.zeros(
             (NP // 8, 32, (nch * Bp) if batch_grid else Bp), F32)
 
+    if headpack:
+        # the extended head matrix (pack_headmm_ext layout) built from
+        # the SAME differentiable loop_w entries + wtt; it carries zero
+        # cotangent through the loop (see loop_bwd), so autodiff never
+        # double-counts — gradients flow via loop_w / tor_node only
+        z = lambda r, c: jnp.zeros((r, c), F32)
+        whm_ext = jnp.concatenate((
+            loop_w["whm"],
+            jnp.concatenate((z(T, 4), loop_w["wrq"], z(2 * T, 4)), axis=0),
+            jnp.concatenate((loop_w["wad"], z(3 * T, 1)), axis=0),
+            jnp.concatenate((loop_w["waq"], z(3 * T, 1)), axis=0),
+            jnp.concatenate((loop_w["ba1"], loop_w["br1"], loop_w["bt1"],
+                             jnp.broadcast_to(loop_w["bl1"], (T, 1))),
+                            axis=0),
+            jnp.concatenate((z(2 * T, 2 * N_TORSIONS), col(w1t[M:]),
+                             z(T, 2 * N_TORSIONS)), axis=0),
+        ), axis=1)
+        tor14 = node_t(tors_flat)
+    else:
+        whm_ext = jnp.zeros((4 * T, T + 21), F32)
+        tor14 = jnp.zeros(
+            (2 * N_TORSIONS,) + (node_t(a_i).shape[-1],), F32)
+
     # keep the weight-prep matmuls (whm = wheads @ wm2, bhm) OUT of the
     # XLA fusion around the pallas call: at f32 HIGHEST their multi-pass
     # expansion pushed the call's operand fusion over the 16 MB
     # scoped-vmem limit (measured 19.71M at batch 64 — compile error)
-    loop_w = lax.optimization_barrier(loop_w)
+    loop_w, whm_ext = lax.optimization_barrier((loop_w, whm_ext))
     loop = _loop_fn(k, Bp, NP, T, M, bf16, unroll, interpret, g8,
-                    batch_grid)
+                    batch_grid, headpack)
     m, D, GD, TA, TR, HID, CNT = loop(
         loop_w, node_t(a_i), node_t(tor_node),
         node_t(peptide_frames.quats), node_t(peptide_frames.trans),
         nbr_t(a_j), nbr_t(q_all), nbr_t(t_all), qjg_cm, edge3, mask3,
-        s_mat, j_mat,
+        s_mat, j_mat, tor14, whm_ext,
     )
     # same scoped-vmem guard on the output side: keep the finalize's
     # msg_sum matmul (new consumer of HID) out of the fusion around the
