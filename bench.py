@@ -234,6 +234,108 @@ def bench_sampler(batch_size: int = None, bf16: bool = False,
     return best, used
 
 
+def bench_serving() -> dict:
+    """Serving metric: sustained requests/s + latency through the REAL
+    HTTP path (in-process server, concurrent clients, npz in / PDB out)
+    at the production serving config (g8 bf16 --sample-steps 50, batch
+    64 — docs/serving.md). The reference has no serving story
+    (one test.py process per run); the number stands against the
+    offline sampler ceiling."""
+    import io
+    import statistics
+    import tempfile
+    import threading
+
+    import http.client
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pmhc_tpu.cli.serve_cli import build_parser, create_server
+    from pmhc_tpu.data import PmhcDataset, write_synthetic_hdf5
+    from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+    from pmhc_tpu.models.import_torch import export_torch_checkpoint
+    from pmhc_tpu.serve import entry_from_dataset
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    params = init_score_network(
+        jax.random.key(0), ScoreNetworkConfig(backend="xla"))
+    model_path = f"{tmp}/model.pth"
+    export_torch_checkpoint(params, model_path)
+    backend = "g8" if jax.default_backend() == "tpu" else "xla"
+    server = create_server(build_parser().parse_args(
+        [model_path, "--port", "0", "--batch-size", "64", "-T", "1000",
+         "--backend", backend, "--bf16", "--sample-steps", "50",
+         "--max-wait-ms", "25"]))
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    data_path = f"{tmp}/entries.hdf5"
+    write_synthetic_hdf5(data_path, n_entries=4,
+                         peptide_lengths=(9, 10), seed=11)
+    ds = PmhcDataset(data_path)
+    bodies = []
+    for name in ds.entry_names:
+        buf = io.BytesIO()
+        np.savez(buf, **entry_from_dataset(ds, name))
+        bodies.append(buf.getvalue())
+
+    lat, errors = [], []
+    lock = threading.Lock()
+    REQUESTS, CONC = 256, 96
+
+    def post(i):
+        t0 = time.perf_counter()
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/sample", bodies[i % len(bodies)])
+        resp = conn.getresponse()
+        resp.read()
+        conn.close()
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}")
+        return time.perf_counter() - t0
+
+    counter = iter(range(REQUESTS))
+
+    def client():
+        while True:
+            with lock:
+                i = next(counter, None)
+            if i is None:
+                return
+            try:
+                dt = post(i)
+                with lock:
+                    lat.append(dt)
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(str(e))
+
+    post(0)  # warmup: compiles on a cold cache
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(CONC)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    server.shutdown()
+    server.batcher.close()
+    server.server_close()
+    if not lat:
+        raise RuntimeError(f"no successful requests ({len(errors)} errors)")
+    lat.sort()
+    return {
+        "requests_per_sec": len(lat) / wall,
+        "p50_s": statistics.median(lat) if lat else None,
+        "p99_s": lat[min(len(lat) - 1, int(0.99 * len(lat)))] if lat else None,
+        "errors": len(errors),
+    }
+
+
 # Fastest torch-reference step rate ever observed on this machine
 # (quiet host, 2026-08-16). The live re-measurement below is taken in the
 # SAME window as the pmhc_tpu measurement, and the ratio uses the FASTEST
@@ -413,6 +515,13 @@ def _measure_child(queue):
         except Exception:
             result["train_ex_bf16"] = None
         queue.put(dict(result))
+        try:
+            # serving: requests/s through the real HTTP path (VERDICT r3
+            # next #2 — driver-captured serving metric)
+            result["serving"] = bench_serving()
+        except Exception:
+            result["serving"] = None
+        queue.put(dict(result))
     except Exception as exc:  # surfaced by the parent as a fallback
         if "value" not in result:
             queue.put({"error": repr(exc)})
@@ -498,6 +607,17 @@ def main():
                 "value": round(result["train_ex_bf16"], 1),
                 "unit": "examples/s (compute ceiling: device-resident "
                         "input, bf16, batch 1024, backend g8)",
+            }))
+        if result.get("serving") is not None:
+            s = result["serving"]
+            print(json.dumps({
+                "metric": "serving_requests_per_sec",
+                "value": round(s["requests_per_sec"], 2),
+                "unit": "requests/s (HTTP npz->PDB, g8 bf16 "
+                        "--sample-steps 50, batch 64, 96 clients; "
+                        f"p50 {round(s['p50_s'], 3)}s "
+                        f"p99 {round(s['p99_s'], 3)}s "
+                        f"errors {s['errors']})",
             }))
         out = {
             "metric": "train_steps_per_sec",

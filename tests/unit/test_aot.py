@@ -61,3 +61,31 @@ def test_aot_bad_file_rejected(tmp_path, params):
     path.write_bytes(b"definitely not an artifact")
     with pytest.raises(ValueError, match="not a pmhc AOT artifact"):
         load_sampler(str(path))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="TPU-lowered AOT artifact needs the real chip "
+                           "(the suite pins the CPU backend; run via "
+                           "tools/bench_aot.py on hardware)")
+def test_aot_roundtrip_on_tpu(tmp_path, params):
+    """The deployment story on actual TPU: export the TPU-lowered
+    artifact, reload, bit-identity vs the jitted path (driven on the
+    chip by tools/bench_aot.py, which also measures startup savings in
+    a FRESH process; this in-process test guards the lowering path)."""
+    import numpy as np
+
+    from pmhc_tpu.aot import load_sampler, save_sampler
+
+    service = SamplerService(params, batch_size=2, noise_step_count=6,
+                             backend="g8", bf16=True, seed=0)
+    mb, key, _ = service.build_model_batch([dummy_entry()],
+                                           jax.random.key(3))
+    jit_out = service._run(mb, key)
+    path = str(tmp_path / "sampler_tpu.aot")
+    save_sampler(service, path)
+    run = load_sampler(path, service)
+    aot_out = run(mb, key)
+    np.testing.assert_array_equal(
+        np.asarray(jit_out["frames"].quats), np.asarray(aot_out["frames"].quats))
+    np.testing.assert_array_equal(
+        np.asarray(jit_out["torsions"]), np.asarray(aot_out["torsions"]))
