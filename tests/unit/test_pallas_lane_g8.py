@@ -88,3 +88,42 @@ def test_g8_kernel_bf16_close_to_f32():
         np.asarray(b_f.trans), np.asarray(f32_f.trans), atol=0.5)
     np.testing.assert_allclose(np.asarray(b_t), np.asarray(f32_t), atol=0.1)
     np.testing.assert_allclose(np.asarray(b_h), np.asarray(f32_h), atol=0.5)
+
+
+def test_pack_headmm_ext_layout():
+    """whm_ext @ [hid; local; -d2; qdot^2; 1; tors] must equal the
+    separate-stage pre_heads computation, row block by row block."""
+    import numpy as np
+
+    from pmhc_tpu.models import ScoreNetworkConfig, init_score_network
+    from pmhc_tpu.ops.egnn_pallas_lane import pack_lane_weights
+    from pmhc_tpu.ops.egnn_pallas_lane_g8 import pack_headmm_ext
+
+    params = init_score_network(jax.random.key(5), ScoreNetworkConfig())
+    weights = pack_lane_weights(params["gnn1"], 23, 96)
+    (wmi, bm1, whm, wad, waq, ba1, w2all, b2all, wfh, wfm2, bf1,
+     wf2, bf2, bl1, wrq, br1, wtt, bt1) = [np.asarray(w) for w in weights]
+    wext = np.asarray(pack_headmm_ext(weights))
+    T = whm.shape[0] // 4
+    assert wext.shape == (4 * T, whm.shape[1] + 21)
+
+    rng = np.random.default_rng(0)
+    L = 8
+    hid = rng.normal(size=(whm.shape[1], L)).astype(np.float32)
+    local = rng.normal(size=(4, L)).astype(np.float32)
+    d2 = rng.uniform(1, 50, size=(1, L)).astype(np.float32)
+    qdot = rng.normal(size=(1, L)).astype(np.float32)
+    tors = rng.normal(size=(14, L)).astype(np.float32)
+
+    ext = np.concatenate(
+        (hid, local, -d2, qdot**2, np.ones((1, L), np.float32), tors))
+    got = wext @ ext
+
+    heads = whm @ hid
+    expect = heads + np.concatenate((
+        wad * (-d2) + waq * qdot**2 + ba1,
+        wrq @ local + br1,
+        wtt @ tors + bt1,
+        np.broadcast_to(bl1, (T, L)),
+    ))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
