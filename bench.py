@@ -283,7 +283,7 @@ def bench_serving() -> dict:
         np.savez(buf, **entry_from_dataset(ds, name))
         bodies.append(buf.getvalue())
 
-    lat, errors = [], []
+    lat, errors = [], {}
     lock = threading.Lock()
     REQUESTS, CONC = 256, 96
 
@@ -311,8 +311,13 @@ def bench_serving() -> dict:
                 with lock:
                     lat.append(dt)
             except Exception as e:  # noqa: BLE001
+                # bucket by kind so failures are characterized, not just
+                # counted: "HTTP 503" (overload) vs transport errors
+                # (ConnectionResetError = accept-backlog overflow, ...)
+                kind = (str(e) if str(e).startswith("HTTP ")
+                        else type(e).__name__)
                 with lock:
-                    errors.append(str(e))
+                    errors[kind] = errors.get(kind, 0) + 1
 
     post(0)  # warmup: compiles on a cold cache
     t0 = time.perf_counter()
@@ -326,13 +331,14 @@ def bench_serving() -> dict:
     server.batcher.close()
     server.server_close()
     if not lat:
-        raise RuntimeError(f"no successful requests ({len(errors)} errors)")
+        raise RuntimeError(f"no successful requests (errors: {errors})")
     lat.sort()
     return {
         "requests_per_sec": len(lat) / wall,
         "p50_s": statistics.median(lat) if lat else None,
         "p99_s": lat[min(len(lat) - 1, int(0.99 * len(lat)))] if lat else None,
-        "errors": len(errors),
+        "errors": sum(errors.values()),
+        "error_buckets": errors,
     }
 
 
@@ -382,20 +388,34 @@ def bench_end_to_end() -> float:
     trainer.train_indices(data, idx)
     np.asarray(trainer.params["gnn1"]["message"]["lin1"]["b"])
 
+    # Same window length as the compute-ceiling metric (bench_ours:
+    # ITERS=10 dispatches x K steps, ONE fetch barrier at the end):
+    # round 4 timed a single 8-step dispatch (~0.11 s), so the ~25 ms
+    # tunnel dispatch + fetch barrier read as a fake 28% "input
+    # pipeline" gap (VERDICT r4 next #2). The loader work — epoch
+    # shuffle, index-chunk staging, per-dispatch Python — stays inside
+    # the timed loop; only the window is now long enough to amortize
+    # the one-off barrier, exactly as the ceiling's window does.
+    n_steps = ITERS * K
     best = 0.0
     for rep in range(3):
-        idxs = [
-            np.concatenate([epoch_indices(2 * rep + 2), epoch_indices(2 * rep + 3)])[
-                i : i + K
-            ]
-            for i in range(0, 8, K)
-        ]
         start = time.perf_counter()
-        for idx in idxs:
-            trainer.train_indices(data, idx)
+        rows, e, done = [], 100 * (rep + 1), 0
+        while done < n_steps:
+            if not rows:
+                rows = list(epoch_indices(e))
+                e += 1
+            chunk, rows = rows[:K], rows[K:]
+            while len(chunk) < K:
+                rows = list(epoch_indices(e))
+                e += 1
+                take = K - len(chunk)
+                chunk, rows = chunk + rows[:take], rows[take:]
+            trainer.train_indices(data, np.stack(chunk))
+            done += len(chunk)
         np.asarray(trainer.params["gnn1"]["message"]["lin1"]["b"])
         elapsed = time.perf_counter() - start
-        best = max(best, sum(i.shape[0] * i.shape[1] for i in idxs) / elapsed)
+        best = max(best, done * B / elapsed)
     return best
 
 
@@ -617,7 +637,9 @@ def main():
                         "--sample-steps 50, batch 64, 96 clients; "
                         f"p50 {round(s['p50_s'], 3)}s "
                         f"p99 {round(s['p99_s'], 3)}s "
-                        f"errors {s['errors']})",
+                        f"errors {s['errors']}"
+                        + (f" {s['error_buckets']}" if s["errors"] else "")
+                        + ")",
             }))
         out = {
             "metric": "train_steps_per_sec",

@@ -71,6 +71,11 @@ def build_parser() -> ArgumentParser:
                         "POST /sample returns 503 + Retry-After instead of "
                         "growing the backlog (default: 8x batch size; "
                         "0 = unbounded)")
+    p.add_argument("--listen-backlog", type=int, default=128,
+                   help="TCP listen(2) backlog. The http.server default "
+                        "of 5 drops connections under bursty concurrent "
+                        "load (kernel resets SYNs once the accept queue "
+                        "overflows while handler threads hold the GIL)")
     p.add_argument("--aot", default=None, metavar="FILE",
                    help="AOT sampler artifact (pmhc_tpu.aot): load FILE "
                         "if it exists (skipping trace+lowering; the "
@@ -199,7 +204,7 @@ def create_server(args) -> ThreadingHTTPServer:
                 self._json(400, {"error": f"body is not a readable npz: {e}"})
                 return
             try:
-                futures = [batcher.submit(entry) for _ in range(n_samples)]
+                futures = batcher.submit_many([entry] * n_samples)
             except Overloaded as e:
                 self.send_response(503)
                 body = json.dumps({"error": str(e)}).encode()
@@ -220,7 +225,14 @@ def create_server(args) -> ThreadingHTTPServer:
                 return
             self._reply(200, frame_models(pdbs), "chemical/x-pdb")
 
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog of 5 resets connections
+        # under bursty load (96 concurrent clients overflow the kernel
+        # accept queue while the 1-CPU host is busy in handler threads);
+        # measured: 44/256 transport errors at backlog 5, 0 at 128.
+        request_queue_size = getattr(args, "listen_backlog", 128)
+
+    server = Server((args.host, args.port), Handler)
     server.batcher = batcher  # for tests / clean shutdown
     return server
 

@@ -195,7 +195,14 @@ def _make_kernel(k: int, bf16=False, unroll: int = 4,
     selects the in-kernel 3-pass f32 emulation (bf16 hi/lo split dots,
     ~1.5e-5 relative error — the --fast-f32 mode; see mm_maker).
     Geometry (quaternion algebra, distances, softmax, sin/cos
-    composition) stays f32 in every mode."""
+    composition) stays f32 in every mode, with one exception: when
+    HEADPACK is on (the default) the head PRE-activations' rank-1
+    geometry columns (-d2, qdot^2, local_q rows) and the head biases
+    enter the fused head matmul as matmul operands, so in bf16 mode
+    they round to bf16 there (previously exact f32 VPU adds). The
+    downstream geometry composition itself is still f32; sampled-
+    quality equivalence for bf16 is backed by the round-3 26-run
+    study (docs/parity.md) plus the headpack-on bf16 goldens."""
 
     _mm, _mm0, _ = mm_maker(bf16)
 

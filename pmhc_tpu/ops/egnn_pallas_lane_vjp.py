@@ -982,8 +982,10 @@ def _loop_fn(k: int, Bp: int, NP: int, T: int, M: int,
         (lambda i: (0, 0, i)) if batch_grid else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM)
 
-    # headpack (g8 only): two extra inputs after the loop weights — the
-    # raw torsions lane tensor and the extended head matrix
+    # headpack (both loop variants, g8 and lane — PMHC_G8_HEADPACK gates
+    # every lane-family kernel despite the G8 in the name, kept for
+    # round-4 compatibility): two extra inputs after the loop weights —
+    # the raw torsions lane tensor and the extended head matrix
     hp_w = (4 * T, T + 21)
 
     def fwd_call(loop_w, ai, tor, qi, ti, aj3, qj3, tj3, qjg_cm, edge3,

@@ -330,6 +330,10 @@ class BatchingSampler:
         self._done: "queue.Queue" = queue.Queue(maxsize=2)  # backpressure
         self._closed = threading.Event()
         self._counter = 0
+        # Serializes the max_queue headroom check against concurrent
+        # submitters (the collector only ever SHRINKS the queue, so a
+        # check-then-put under this lock can never overshoot the bound).
+        self._submit_lock = threading.Lock()
         self._collector = threading.Thread(
             target=self._collect_loop, name="pmhc-serve-collect", daemon=True)
         self._finisher = threading.Thread(
@@ -338,19 +342,35 @@ class BatchingSampler:
         self._finisher.start()
 
     def submit(self, entry: Dict[str, np.ndarray]) -> Future:
+        return self.submit_many([entry])[0]
+
+    def submit_many(self, entries) -> List[Future]:
+        """Atomically enqueue a group of entries (all or none).
+
+        Either every entry is accepted (each future resolves to its PDB
+        bytes, or to the validation error for that entry) or the whole
+        group is rejected with :class:`Overloaded` — a multi-sample
+        request can never leave already-queued futures orphaned when
+        the bound trips mid-group.
+        """
         if self._closed.is_set():
             raise RuntimeError("BatchingSampler is closed")
-        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
-            raise Overloaded(
-                f"pending queue at max_queue={self.max_queue}; retry later")
-        fut: Future = Future()
-        try:
-            entry = validate_entry(entry)
-        except ValueError as e:
-            fut.set_exception(e)
-            return fut
-        self._q.put((entry, fut))
-        return fut
+        futures: List[Future] = [Future() for _ in entries]
+        accepted = []
+        for entry, fut in zip(entries, futures):
+            try:
+                accepted.append((validate_entry(entry), fut))
+            except ValueError as e:
+                fut.set_exception(e)
+        with self._submit_lock:
+            if (self.max_queue is not None and accepted
+                    and self._q.qsize() + len(accepted) > self.max_queue):
+                raise Overloaded(
+                    f"pending queue at max_queue={self.max_queue}; "
+                    f"retry later")
+            for item in accepted:
+                self._q.put(item)
+        return futures
 
     def close(self) -> None:
         self._closed.set()

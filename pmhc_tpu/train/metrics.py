@@ -88,11 +88,18 @@ class MetricsRecord:
             elif existing:
                 import logging
 
+                # rotate to a unique name so a second mismatch can never
+                # clobber an earlier rotation's history (ADVICE r4)
+                old = path + ".old"
+                n = 1
+                while os.path.exists(old):
+                    old = f"{path}.old.{n}"
+                    n += 1
                 logging.getLogger(__name__).warning(
                     "metrics CSV %s has columns %s but this run produces %s; "
-                    "rotating it to %s.old", path, existing, keys, path,
+                    "rotating it to %s", path, existing, keys, old,
                 )
-                os.replace(path, path + ".old")
+                os.replace(path, old)
                 add_header = True
         with open(path, "at") as f:
             w = csv.writer(f, delimiter=",")

@@ -164,3 +164,22 @@ def test_lane_kernel_high_tracks_f32_tightly():
         np.asarray(h_f.trans), np.asarray(f32_f.trans), atol=3e-3)
     np.testing.assert_allclose(np.asarray(h_t), np.asarray(f32_t), atol=1e-3)
     np.testing.assert_allclose(np.asarray(h_h), np.asarray(f32_h), atol=3e-3)
+
+
+def test_lane_kernel_headpack_off_matches_dense(monkeypatch):
+    """The non-headpack lane forward kernel (PMHC_G8_HEADPACK=0 —
+    the env var gates ALL lane-family kernels, not just g8) keeps
+    dense parity (VERDICT r4 next #4 / ADVICE r4)."""
+    monkeypatch.setenv("PMHC_G8_HEADPACK", "0")
+    params, args = _layer_inputs(batch_size=4)
+    dense_f, dense_t, dense_h = egnn_forward(params, *args)
+    lane_f, lane_t, lane_h = egnn_forward_pallas_lane(
+        params, *args, lane_block=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(lane_f.quats), np.asarray(dense_f.quats), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(lane_f.trans), np.asarray(dense_f.trans), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lane_t), np.asarray(dense_t), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lane_h), np.asarray(dense_h), atol=2e-4)

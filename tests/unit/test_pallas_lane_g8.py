@@ -127,3 +127,31 @@ def test_pack_headmm_ext_layout():
         np.broadcast_to(bl1, (T, L)),
     ))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_g8_kernel_headpack_off_matches_dense_and_on(monkeypatch):
+    """PMHC_G8_HEADPACK=0 restores the separate-stage kernel (the
+    stage-ablation tooling's path, egnn_pallas_lane_g8.py) — it must
+    stay dense-parity AND match the default headpack kernel to f32
+    reassociation tolerance, so the env-var fallback cannot silently
+    rot (VERDICT r4 next #4 / ADVICE r4)."""
+    params, args = _layer_inputs(batch_size=4)
+    dense_f, dense_t, dense_h = egnn_forward(params, *args)
+    on_f, on_t, on_h = egnn_forward_pallas_lane_g8(
+        params, *args, lane_block=128, interpret=True)
+    monkeypatch.setenv("PMHC_G8_HEADPACK", "0")
+    off_f, off_t, off_h = egnn_forward_pallas_lane_g8(
+        params, *args, lane_block=128, interpret=True)
+    for got, want, tol in (
+        (off_f.quats, dense_f.quats, 5e-5),
+        (off_f.trans, dense_f.trans, 2e-4),
+        (off_t, dense_t, 2e-4),
+        (off_h, dense_h, 2e-4),
+        # headpack is a reassociation of the same f32 math
+        (off_f.quats, on_f.quats, 1e-5),
+        (off_f.trans, on_f.trans, 5e-5),
+        (off_t, on_t, 5e-5),
+        (off_h, on_h, 5e-5),
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=tol)

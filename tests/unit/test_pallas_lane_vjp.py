@@ -281,3 +281,40 @@ def test_vjp_layer_grads_high_mode_close_to_dense(g8):
                 b, a, atol=max(2e-3 * float(np.abs(a).max()), 2e-4),
                 err_msg=f"{name}{jax.tree_util.keystr(path)}",
             )
+
+
+@pytest.mark.parametrize("g8", [False, True])
+def test_vjp_layer_grads_headpack_off_match_dense(monkeypatch, g8):
+    """Gradient parity for the non-headpack custom-VJP loop kernels
+    (PMHC_G8_HEADPACK=0, both loop variants) — the stage-ablation
+    fallback path must not rot (VERDICT r4 next #4 / ADVICE r4)."""
+    monkeypatch.setenv("PMHC_G8_HEADPACK", "0")
+    params, args = _layer_inputs(batch_size=4)
+    (frames, torsions, h, edge_pre, mask, pocket_h, pk_frames, pk_mask) = args
+
+    def loss(fn):
+        def f(p, fr_q, fr_t, tors, hh, edge, pk_h, pk_q, pk_t):
+            frames_ = type(frames)(fr_q, fr_t)
+            pk_frames_ = type(frames)(pk_q, pk_t)
+            fr, tr, out_h = fn(p, frames_, tors, hh, edge, mask, pk_h,
+                               pk_frames_, pk_mask)
+            return (jnp.sum(fr.trans ** 2) + jnp.sum(fr.quats * 0.7)
+                    + jnp.sum(tr ** 2) + jnp.sum(out_h * 0.3))
+        return f
+
+    argnums = tuple(range(9))
+    diff_args = (params, frames.quats, frames.trans, torsions, h, edge_pre,
+                 pocket_h, pk_frames.quats, pk_frames.trans)
+    g_dense = jax.grad(loss(egnn_forward), argnums=argnums)(*diff_args)
+    g_lane = jax.grad(
+        loss(lambda *a: egnn_forward_pallas_lane_vjp(
+            *a, interpret=True, g8=g8)),
+        argnums=argnums)(*diff_args)
+    for gd, gl in zip(g_dense, g_lane):
+        for a, b in zip(jax.tree_util.tree_leaves(gd),
+                        jax.tree_util.tree_leaves(gl)):
+            a, b = np.asarray(a), np.asarray(b)
+            # same tolerance rationale as the headpack-on grad test
+            # above (floor for the analytic-zero attention.lin2.b)
+            np.testing.assert_allclose(
+                b, a, atol=max(2e-4 * float(np.abs(a).max()), 3e-5))
