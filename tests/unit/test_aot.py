@@ -23,7 +23,8 @@ def _service(params, **kw):
     return SamplerService(params, **kw)
 
 
-def test_aot_roundtrip_bit_identical(tmp_path, params):
+@pytest.mark.parametrize("fmt", ["executable", "stablehlo"])
+def test_aot_roundtrip_bit_identical(tmp_path, params, fmt):
     from pmhc_tpu.aot import load_sampler, save_sampler
 
     svc = _service(params)
@@ -32,13 +33,37 @@ def test_aot_roundtrip_bit_identical(tmp_path, params):
     jit_pdbs = svc.sample_entries(entries, key)
 
     path = str(tmp_path / "sampler.aot")
-    save_sampler(svc, path)
+    save_sampler(svc, path, fmt=fmt)
 
     fresh = _service(params)
     run = load_sampler(path, fresh)
     assert fresh._run is run
     aot_pdbs = fresh.sample_entries(entries, key)
     assert aot_pdbs == jit_pdbs  # same program -> identical bytes
+
+
+def test_aot_executable_rejects_jax_version_drift(tmp_path, params):
+    """The compiled-executable format is pinned to the exact jaxlib:
+    a version-mismatched artifact must fail at LOAD with a clear
+    message, not crash mid-request."""
+    import json
+    import struct
+
+    from pmhc_tpu.aot import MAGIC_XC, load_sampler, save_sampler
+
+    path = str(tmp_path / "sampler.aot")
+    save_sampler(_service(params), path, fmt="executable")
+    data = open(path, "rb").read()
+    off = len(MAGIC_XC)
+    (meta_len,) = struct.unpack_from("<I", data, off)
+    meta = json.loads(data[off + 4:off + 4 + meta_len].decode())
+    meta["jax_version"] = "0.0.1"
+    doctored = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC_XC + struct.pack("<I", len(doctored)) + doctored
+                + data[off + 4 + meta_len:])
+    with pytest.raises(ValueError, match="cannot load under"):
+        load_sampler(path, _service(params))
 
 
 def test_aot_config_mismatch_rejected(tmp_path, params):

@@ -84,10 +84,11 @@ def run_export(args) -> None:
     mb, key = pinned_inputs(service)
     out = fetch_state(service._run(mb, key))  # compiles (or cache hit)
     t_first = time.perf_counter() - t0
-    save_sampler(service, args.artifact)
+    save_sampler(service, args.artifact, fmt=args.fmt)
     np.savez(args.expected, **out)
     print(json.dumps({
-        "mode": "export", "platform": jax.default_backend(),
+        "mode": "export", "fmt": args.fmt,
+        "platform": jax.default_backend(),
         "first_result_s": round(t_first, 2),
         "artifact_bytes": os.path.getsize(args.artifact),
         "setup_s": round(t0 - t_import, 2),
@@ -119,7 +120,7 @@ def run_fresh(args) -> None:
         np.testing.assert_array_equal(
             v, expected[k], err_msg=f"{k}: AOT output differs from jitted")
     print(json.dumps({
-        "mode": "jit" if args.jit else "aot",
+        "mode": "jit" if args.jit else f"aot-{args.fmt}",
         "first_result_s": round(t_first, 2),
         "total_from_start_s": round(time.perf_counter() - t_start, 2),
         "bit_identical": True,
@@ -138,6 +139,11 @@ def main(argv=None):
     ap.add_argument("--backend", default="g8")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fast-f32", action="store_true")
+    ap.add_argument("--fmt", default="executable",
+                    choices=("executable", "stablehlo"),
+                    help="artifact format (executable = serialized PJRT "
+                         "executable, no compile at load; stablehlo = "
+                         "jax.export, loader recompiles)")
     ap.add_argument("--artifact", default=None)
     ap.add_argument("--expected", default=None)
     args = ap.parse_args(argv)
@@ -157,7 +163,7 @@ def main(argv=None):
     run_export(args)
     base = [sys.executable, os.path.abspath(__file__),
             "--batch-size", str(args.batch_size), "-T", str(args.T),
-            "--backend", args.backend,
+            "--backend", args.backend, "--fmt", args.fmt,
             "--artifact", args.artifact, "--expected", args.expected,
             "--mode", "load"]
     if args.sample_steps:
