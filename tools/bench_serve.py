@@ -46,8 +46,10 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fast-f32", action="store_true")
     ap.add_argument("--max-wait-ms", type=float, default=25.0)
-    ap.add_argument("--concurrency", type=int, default=128,
-                    help="concurrent client threads")
+    ap.add_argument("--concurrency", default="128",
+                    help="concurrent client threads; a comma list sweeps "
+                         "offered load against the same warm server "
+                         "(latency-vs-load table, e.g. 8,32,64,96)")
     ap.add_argument("--requests", type=int, default=256,
                     help="total requests in the timed window")
     ap.add_argument("--warmup-requests", type=int, default=8)
@@ -123,47 +125,59 @@ def main():
         t.join()
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    latencies: list = []
-    errors: list = []
-    lock = threading.Lock()
-    counter = iter(range(args.requests))
+    import json
 
-    def client():
-        while True:
-            with lock:
-                i = next(counter, None)
-            if i is None:
-                return
-            try:
-                dt = post(bodies[i % len(bodies)])
-                with lock:
-                    latencies.append(dt)
-            except Exception as e:  # noqa: BLE001 — report, keep draining
-                with lock:
-                    errors.append(str(e))
+    def run_level(conc: int, n_requests: int):
+        latencies: list = []
+        errors: dict = {}
+        lock = threading.Lock()
+        counter = iter(range(n_requests))
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client)
-               for _ in range(min(args.concurrency, args.requests))]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+        def client():
+            while True:
+                with lock:
+                    i = next(counter, None)
+                if i is None:
+                    return
+                try:
+                    dt = post(bodies[i % len(bodies)])
+                    with lock:
+                        latencies.append(dt)
+                except Exception as e:  # noqa: BLE001 — bucket, keep going
+                    kind = (str(e)[:8] if str(e).startswith("HTTP ")
+                            else type(e).__name__)
+                    with lock:
+                        errors[kind] = errors.get(kind, 0) + 1
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client)
+                   for _ in range(min(conc, n_requests))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat = sorted(latencies)
+        q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+        print(json.dumps({
+            "concurrency": conc, "ok": len(lat), "requests": n_requests,
+            "wall_s": round(wall, 2),
+            "requests_per_sec": round(len(lat) / wall, 2) if lat else 0.0,
+            "p50_s": round(statistics.median(lat), 3) if lat else None,
+            "p90_s": round(q(0.90), 3) if lat else None,
+            "p99_s": round(q(0.99), 3) if lat else None,
+            "max_s": round(lat[-1], 3) if lat else None,
+            "errors": errors,
+        }), flush=True)
+
+    print(f"config: batch {args.batch_size}, T {args.T}, "
+          f"steps {args.sample_steps or args.T}, backend {args.backend}, "
+          f"bf16 {args.bf16}", flush=True)
+    for conc in [int(c) for c in str(args.concurrency).split(",")]:
+        run_level(conc, args.requests)
 
     server.batcher.close()
     server.shutdown()
-    if errors:
-        print(f"{len(errors)} errors; first: {errors[0]}")
-    lat = sorted(latencies)
-    q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
-    print(f"config: batch {args.batch_size}, T {args.T}, "
-          f"steps {args.sample_steps or args.T}, backend {args.backend}, "
-          f"bf16 {args.bf16}, concurrency {args.concurrency}")
-    print(f"{len(lat)} ok / {args.requests} in {wall:.2f}s = "
-          f"{len(lat) / wall:.1f} requests/s")
-    print(f"latency s: p50 {statistics.median(lat):.3f}  p90 {q(0.90):.3f}  "
-          f"p99 {q(0.99):.3f}  max {lat[-1]:.3f}")
 
 
 if __name__ == "__main__":

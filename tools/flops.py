@@ -47,9 +47,18 @@ def layer_flops(B, N=16, P=80, H=23, T=64, M=64, O=64, E=31):
 def forward_flops(B, I=64, M=64):
     """Two layers: H=23 -> O=I, then H=I -> O=1 (model.py:370-371).
     ``I``/``M`` generalize to scaled score networks
-    (ScoreNetworkConfig.inner_size / message_size)."""
-    return (layer_flops(B, H=23, T=I, M=M, O=I)
-            + layer_flops(B, H=I, T=I, M=M, O=1))
+    (ScoreNetworkConfig.inner_size / message_size).
+
+    The MLP hidden ("transition") width is the architecture's
+    hardcoded 64 (reference model.py:36, our egnn.py TRANSITION) and
+    does NOT scale with I/M — scaled-dims FLOPs grow roughly linearly
+    in M (every head lin1 contracts over M into 64 hidden units), not
+    quadratically. An earlier revision passed T=I here, overcounting
+    scaled-dims FLOPs ~2-5x (at reference dims T=I=64 coincide, so
+    all reference-dims MFU numbers were unaffected)."""
+    T = 64  # transition width: fixed by the architecture
+    return (layer_flops(B, H=23, T=T, M=M, O=I)
+            + layer_flops(B, H=I, T=T, M=M, O=1))
 
 
 def main():

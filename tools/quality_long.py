@@ -53,6 +53,15 @@ def main(argv=None):
     ap.add_argument("--untrained-anchor", action="store_true",
                     help="also evaluate heldout/RMSD at the INIT params")
     ap.add_argument("--out", default=None, help="also write the JSON here")
+    ap.add_argument("--eval-backend", default="xla",
+                    help="backend for the held-out eval + sampling passes "
+                         "(xla = reference-equivalent default; the Pallas "
+                         "backends are parity-tested and compile far "
+                         "faster at scaled dims)")
+    ap.add_argument("--inner-size", type=int, default=64,
+                    help="I: scaled-model stability probes (reference 64)")
+    ap.add_argument("--message-size", type=int, default=64,
+                    help="M: scaled-model stability probes (reference 64)")
     args = ap.parse_args(argv)
 
     import jax
@@ -108,7 +117,9 @@ def main(argv=None):
     idx_all = np.stack(rows[: args.steps]).astype(np.int32)  # [steps, B]
 
     # ---- identical held-out evaluation for every arm (xla, f32) ----
-    eval_mc = ScoreNetworkConfig(noise_step_count=args.T, backend="xla")
+    dims = dict(inner_size=args.inner_size, message_size=args.message_size)
+    eval_mc = ScoreNetworkConfig(noise_step_count=args.T,
+                                 backend=args.eval_backend, **dims)
     eval_prepared = prepare_batch(dict(test_batch))
 
     @jax.jit
@@ -146,7 +157,7 @@ def main(argv=None):
 
     sample_dc = DiffusionConfig(noise_step_count=args.sample_T)
     sample_mc = ScoreNetworkConfig(noise_step_count=args.sample_T,
-                                   backend="xla")
+                                   backend=args.eval_backend, **dims)
     sample_jit = jax.jit(lambda p, b, k: sample(
         p, b, k, sample_dc, sample_mc, precision=DEFAULT_PRECISION))
 
@@ -161,14 +172,17 @@ def main(argv=None):
 
     results = {"steps": args.steps, "batch_size": B,
                "train_entries": n, "test_entries": len(test_ds),
-               "sample_T": args.sample_T, "arms": {}}
+               "sample_T": args.sample_T, "arms": {},
+               "inner_size": args.inner_size,
+               "message_size": args.message_size}
     K = 100  # steps per fused dispatch
     assert args.steps % K == 0
 
     if args.untrained_anchor:
         # "noise level" anchor: heldout loss + sampled RMSD of the INIT
         # params — any trained arm should beat this decisively
-        mc0 = ScoreNetworkConfig(noise_step_count=args.T, backend="xla")
+        mc0 = ScoreNetworkConfig(noise_step_count=args.T,
+                                 backend=args.eval_backend, **dims)
         p0 = init_score_network(jax.random.key(args.seed), mc0)
         rmsd0 = sampled_rmsd(p0)
         results["untrained"] = {
@@ -186,7 +200,8 @@ def main(argv=None):
         precision = (None if prec_name == "bf16"
                      else jax.lax.Precision.HIGH if prec_name == "f32x3"
                      else DEFAULT_PRECISION)
-        mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend)
+        mc = ScoreNetworkConfig(noise_step_count=args.T, backend=backend,
+                                **dims)
         params = init_score_network(jax.random.key(args.seed), mc)
         parts = [optax.adam(args.lr)]
         if args.clip:
