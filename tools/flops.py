@@ -18,6 +18,7 @@ import sys
 
 BF16_PEAK = 197e12
 F32_PEAK = 49e12  # HIGHEST-precision matmuls: ~4-6 bf16 passes
+F32X3_PEAK = BF16_PEAK / 3  # --fast-f32: exactly 3 bf16 passes
 HBM_BW = 819e9
 
 
