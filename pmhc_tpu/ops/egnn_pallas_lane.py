@@ -124,8 +124,10 @@ def mm_maker(bf16):
             def f(a, b):
                 ah, al = _split(a)
                 bh, bl = _split(b)
+                # bf16 operands: DEFAULT is the (only) exact single pass
                 d = lambda x, y: lax.dot_general(
-                    x, y, (dims, ((), ())), preferred_element_type=F32)
+                    x, y, (dims, ((), ())), preferred_element_type=F32,
+                    precision=lax.Precision.DEFAULT)
                 return d(ah, bh) + d(ah, bl) + d(al, bh)
             return f
 
@@ -136,20 +138,24 @@ def mm_maker(bf16):
         def pair(a, b):
             return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
 
+        # bf16 operands: DEFAULT is the (only) exact single MXU pass
         def _mm(a, b):
             return lax.dot_general(
                 *pair(a, b), (((1,), (0,)), ((), ())),
-                preferred_element_type=F32)
+                preferred_element_type=F32,
+                precision=lax.Precision.DEFAULT)
 
         def _mm0(a, b):
             return lax.dot_general(
                 *pair(a, b), (((0,), (0,)), ((), ())),
-                preferred_element_type=F32)
+                preferred_element_type=F32,
+                precision=lax.Precision.DEFAULT)
 
         def _mmL(a, b):
             return lax.dot_general(
                 *pair(a, b), (((1,), (1,)), ((), ())),
-                preferred_element_type=F32)
+                preferred_element_type=F32,
+                precision=lax.Precision.DEFAULT)
     else:
         prec = lax.Precision.HIGHEST
 

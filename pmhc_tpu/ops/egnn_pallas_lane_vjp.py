@@ -1256,12 +1256,22 @@ def egnn_forward_pallas_lane_vjp(
     b1m = jnp.asarray(params["message"]["lin1"]["b"], F32)
     w1t = jnp.asarray(params["torsion"]["lin1"]["w"], F32)
 
-    # XLA pre-projections (autodiffed)
-    a_i = peptide_features @ w1m[:H] + b1m              # [B, N, T]
+    # XLA pre-projections (autodiffed). Precision must match the in-kernel
+    # _mm family for the mode: on real TPUs an UNQUALIFIED f32 matmul
+    # (Precision.DEFAULT) lowers to a single bf16 MXU pass, which broke
+    # f32 grad parity at scaled dims (~4e-1 relative 2^-8 roundoff; found
+    # by tools/probe_scaled_parity.py on chip — CPU interpret tests can't
+    # see it because CPU ignores precision and always computes full f32).
+    prec_pre = (None if bf16 is True
+                else lax.Precision.HIGH if bf16 == "high"
+                else lax.Precision.HIGHEST)
+    a_i = jnp.matmul(peptide_features, w1m[:H],
+                     precision=prec_pre) + b1m           # [B, N, T]
     a_j = jnp.einsum("bph,ht->bpt", h_all, w1m[H:2 * H],
                      precision=lax.Precision.HIGHEST)
     tors_flat = peptide_torsions.reshape(B, N, N_TORSIONS * 2)
-    tor_node = tors_flat @ w1t[M:]                       # [B, N, T]
+    tor_node = jnp.matmul(tors_flat, w1t[M:],
+                          precision=prec_pre)            # [B, N, T]
     edge_full = jnp.pad(edge_pre, ((0, 0), (0, P), (0, 0)))
     edge3 = jnp.transpose(edge_full, (1, 0, 2))          # [NP, N, T]
 
