@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--requests", type=int, default=256,
                     help="total requests in the timed window")
     ap.add_argument("--warmup-requests", type=int, default=8)
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="pass through to serve_cli: cap the service "
+                         "backlog (use a SMALL value + high concurrency "
+                         "for an intentional over-capacity run — 503s "
+                         "then show up bucketed as 'HTTP 503' in the "
+                         "errors dict, separate from transport errors)")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +85,8 @@ def main():
     cli = [model_path, "--port", "0", "--batch-size", str(args.batch_size),
            "-T", str(args.T), "--backend", args.backend,
            "--max-wait-ms", str(args.max_wait_ms)]
+    if args.max_queue is not None:
+        cli += ["--max-queue", str(args.max_queue)]
     if args.sample_steps:
         cli += ["--sample-steps", str(args.sample_steps)]
     if args.bf16:
